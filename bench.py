@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: DeFlow leaderboard-config training throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (BASELINE.md): the reference trains the leaderboard config
+(model=deflow, bs=16, 15 epochs) in 6-8 h on 4x A100 (reference
+README.md:64-66).  AV2 sensor train split ≈ 700 scenes × ~157 frame pairs
+≈ 110k pairs/epoch, so at the 7 h midpoint the reference sustains
+    15 × 110000 / (7·3600) ≈ 65.5 pairs/s over 4 A100 ≈ 16.4 pairs/s/A100.
+``vs_baseline`` is our measured per-chip training throughput divided by that
+per-A100 number (>1.0 = faster per chip than the reference's hardware).
+
+Runs on the real TPU chip (axon); measures the steady-state jitted train step
+(forward+backward+optimizer) on full-size inputs: 512x512 grid, bf16 compute,
+batch 4/chip x 131072-point slots with ~85k valid points/frame (AV2-like
+density after ground removal).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_batch(batch: int, n: int, valid: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    pc = lambda: np.where(
+        (np.arange(n) < valid)[None, :, None],
+        np.stack([
+            rng.uniform(-51, 51, (batch, n)),
+            rng.uniform(-51, 51, (batch, n)),
+            rng.uniform(-2.8, 2.8, (batch, n)),
+        ], axis=-1), 0.0).astype(np.float32)
+    mask = np.tile((np.arange(n) < valid)[None], (batch, 1))
+    pose0 = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
+    pose1 = pose0.copy()
+    pose1[:, 0, 3] = 1.3
+    return {
+        "pc0": pc(), "pc1": pc(), "pose0": pose0, "pose1": pose1,
+        "pc0_mask": mask, "pc1_mask": mask.copy(),
+        "flow": rng.normal(0, 0.2, (batch, n, 3)).astype(np.float32),
+        "flow_is_valid": mask.copy(),
+        "flow_category_indices": rng.integers(0, 30, (batch, n)).astype(np.int32),
+    }
+
+
+def main():
+    import jax
+
+    from deflow_tpu.config import compose
+    from deflow_tpu.models import build_model
+    from deflow_tpu import trainer as T
+
+    batch, n, valid = 4, 131072, 86016
+    cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
+                             "loss_fn=deflowLoss", "precision=bf16"])
+    model = build_model(cfg.model, precision="bf16")
+    host_batch = make_batch(batch, n, valid)
+
+    mesh = T.create_mesh(1)
+    state = T.init_state(model, cfg, host_batch, seed=0)
+    state = jax.device_put(state, T.replicated(mesh))
+    step = T.jit_train_step(T.make_train_step(model, "deflowLoss"), mesh)
+    dev_batch = T.device_batch(host_batch, mesh)
+
+    # warmup / compile
+    for _ in range(3):
+        state, aux = step(state, dev_batch)
+    jax.block_until_ready(aux["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, aux = step(state, dev_batch)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch * iters / dt
+    baseline_per_chip = 15 * 110000 / (7 * 3600) / 4  # ≈16.37 pairs/s/A100
+    print(json.dumps({
+        "metric": "train_frame_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec / baseline_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Torch checkpoint → flax variables converter.
+
+The parity gate (BASELINE.md) loads the published Lightning checkpoint
+(``deflow_best.ckpt``, reference README.md:20,86) into the JAX model.  The
+checkpoint layout is pinned by the reference's own loader (reference
+deflow.py:41-47): ``ckpt["state_dict"]`` with every model key prefixed
+``model.``, strict=False.
+
+Key-layout map (torch module tree → flax param tree), transposes follow the
+standard conventions:
+    Linear  weight [O, I]        → Dense  kernel [I, O]
+    Conv2d  weight [O, I, kh, kw] → Conv  kernel [kh, kw, I, O]
+    Conv1d(k=1) weight [O, I, 1] → Dense kernel [I, O]
+    BatchNorm weight/bias        → scale/bias (params)
+    BatchNorm running_mean/var   → mean/var (batch_stats collection)
+
+The torch side names that differ from our flax module names:
+    embedder.feature_net.pfn_layers.0.{0,1}  → embedder/feature_net/{linear,norm}
+    backbone.decoder_stepK.u1_u2.{0,2}       → .../decoder_stepK/{u1,u2}
+    backbone.decoder_stepK.u4_u5.{0,1}       → .../decoder_stepK/{u4,u5}
+    head.decoder.{0,2}                       → head/decoder/{fc1,fc2}
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _to_numpy(v: Any) -> np.ndarray:
+    if isinstance(v, np.ndarray):
+        return v
+    try:  # torch tensor without importing torch at module scope
+        return v.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(v)
+
+
+# torch key substring → flax path-segment rewrites, applied in order.
+_SEGMENT_REWRITES = [
+    ("feature_net.pfn_layers.0.0", "feature_net.linear"),
+    ("feature_net.pfn_layers.0.1", "feature_net.norm"),
+    ("u1_u2.0", "u1"),
+    ("u1_u2.2", "u2"),
+    ("u4_u5.0", "u4"),
+    ("u4_u5.1", "u5"),
+    ("decoder.0", "decoder.fc1"),
+    ("decoder.2", "decoder.fc2"),
+]
+
+_LEAF_MAP = {
+    "weight": "kernel",   # refined to scale for norm layers below
+    "bias": "bias",
+    "running_mean": "mean",
+    "running_var": "var",
+}
+
+_NORM_MARKERS = ("batchnorm", "feature_net.norm", "norm1", "norm2", "norm3")
+
+
+def _is_norm_path(path: str) -> bool:
+    return any(m in path for m in _NORM_MARKERS)
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, Any], strip_prefix: str = "model."
+) -> Tuple[Dict, Dict]:
+    """Convert a torch state_dict into (params, batch_stats) nested dicts.
+
+    Mirrors the reference loader's prefix strip and strict=False tolerance
+    (unknown keys are skipped, reference deflow.py:41-47).
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    for key, value in state_dict.items():
+        if strip_prefix and key.startswith(strip_prefix):
+            key = key[len(strip_prefix):]
+        if key.endswith("num_batches_tracked"):
+            continue
+        for old, new in _SEGMENT_REWRITES:
+            key = key.replace(old, new)
+
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = ".".join(parts[:-1])
+        arr = _to_numpy(value).astype(np.float32)
+
+        if leaf in ("running_mean", "running_var"):
+            _set(stats, parts[:-1] + [_LEAF_MAP[leaf]], arr)
+            continue
+        if leaf == "weight":
+            if _is_norm_path(path):
+                _set(params, parts[:-1] + ["scale"], arr)
+                continue
+            if arr.ndim == 4:      # Conv2d
+                arr = arr.transpose(2, 3, 1, 0)
+            elif arr.ndim == 3:    # Conv1d k=1 → Dense
+                arr = arr[:, :, 0].T
+            elif arr.ndim == 2:    # Linear
+                arr = arr.T
+            _set(params, parts[:-1] + ["kernel"], arr)
+            continue
+        if leaf == "bias":
+            _set(params, parts[:-1] + ["bias"], arr)
+            continue
+        # strict=False: silently skip anything unrecognized
+
+    return params, stats
+
+
+def _set(tree: Dict, parts, value) -> None:
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a Lightning ``.ckpt`` and return its raw ``state_dict``.
+
+    Uses torch.load when torch is importable (it is baked into this
+    environment); kept in a function so the core converter stays numpy-only.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: _to_numpy(v) for k, v in sd.items()}
+
+
+def convert_checkpoint(path: str) -> Dict[str, Dict]:
+    """``.ckpt`` file → flax ``{'params': ..., 'batch_stats': ...}``."""
+    params, stats = convert_state_dict(load_torch_checkpoint(path))
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_into_variables(variables: Dict, converted: Dict) -> Dict:
+    """Overlay converted weights onto an ``init``-ed variable tree.
+
+    Validates that every converted leaf exists in the target tree with a
+    matching shape — catching silent mis-mappings that strict=False loading
+    would hide.
+    """
+    import jax
+
+    def overlay(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            where = f"{path}/{k}"
+            if k not in dst:
+                raise KeyError(f"converted key {where} not present in model variables")
+            if isinstance(v, dict):
+                out[k] = overlay(dst[k], v, where)
+            else:
+                want = np.shape(dst[k])
+                if tuple(v.shape) != tuple(want):
+                    raise ValueError(f"shape mismatch at {where}: ckpt {v.shape} vs model {want}")
+                out[k] = jax.numpy.asarray(v)
+        return out
+
+    merged = dict(variables)
+    for col in ("params", "batch_stats"):
+        if converted.get(col):
+            merged[col] = overlay(variables[col], converted[col])
+    return merged

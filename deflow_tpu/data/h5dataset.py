@@ -1,0 +1,245 @@
+"""Argoverse 2 preprocessed ``.h5`` scene dataset → static-shape frame pairs.
+
+Schema (one file per scene, one group per lidar timestamp) follows the
+reference preprocessing output (``dataprocess/extract_av2.py``, reference
+assets/slurm/0_process.sh:17-35, README.md:52-57 [T2]; exact keys [T3 from
+the OpenSceneFlow lineage]):
+
+    <log_id>.h5
+      └── <timestamp>/            (zero-padded string keys, time-ordered)
+            lidar                  [N, 3] f32   ego-frame points
+            pose                   [4, 4] f64   ego→city
+            ground_mask            [N]    bool  ground points (removable)
+            flow                   [N, 3] f32   total gt flow  (labeled splits)
+            flow_is_valid          [N]    bool
+            flow_category_indices  [N]    uint8 AV2 category (0 = background)
+            ego_motion             [4, 4] f64   pose_0to1 (precomputed)
+            eval_mask              [N]    bool  official eval mask (val/test)
+
+A sample is a consecutive frame pair (t, t+1) within one scene, matching the
+reference batch contract (reference deflow.py:49-66).  TPU-first: every
+variable-length array is padded to ``max_points`` with a validity mask —
+downstream code never sees ragged shapes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+
+@dataclass(frozen=True)
+class FramePairIndex:
+    scene_path: str
+    scene_id: str
+    timestamp0: str
+    timestamp1: str
+
+
+def build_index(data_dir: str) -> List[FramePairIndex]:
+    """Scan a split directory of per-scene .h5 files into frame-pair indices."""
+    pairs: List[FramePairIndex] = []
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(f"dataset split dir not found: {data_dir}")
+    for fname in sorted(os.listdir(data_dir)):
+        if not fname.endswith(".h5"):
+            continue
+        path = os.path.join(data_dir, fname)
+        scene_id = fname[: -len(".h5")]
+        with h5py.File(path, "r") as f:
+            # numeric sort: timestamps may not be zero-padded
+            keys = sorted(f.keys(), key=lambda k: int(k))
+        for t0, t1 in zip(keys[:-1], keys[1:]):
+            pairs.append(FramePairIndex(path, scene_id, t0, t1))
+    return pairs
+
+
+def _read_frame(group: h5py.Group) -> Dict[str, np.ndarray]:
+    out = {"lidar": group["lidar"][:].astype(np.float32)[:, :3],
+           "pose": group["pose"][:].astype(np.float32)}
+    for key in ("ground_mask", "flow", "flow_is_valid",
+                "flow_category_indices", "ego_motion", "eval_mask"):
+        if key in group:
+            out[key] = group[key][:]
+    return out
+
+
+def pad_points(
+    arr: np.ndarray, n: int, fill: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad/crop the leading axis to n; returns (padded, mask)."""
+    k = min(len(arr), n)
+    shape = (n,) + arr.shape[1:]
+    out = np.full(shape, fill, dtype=arr.dtype)
+    out[:k] = arr[:k]
+    mask = np.zeros(n, bool)
+    mask[:k] = True
+    return out, mask
+
+
+class HDF5Dataset:
+    """Frame-pair dataset with reference-compatible semantics.
+
+    remove_ground drops ground points *before* padding (the reference filters
+    by the stored ground mask at load time).  Labeled splits carry per-point
+    gt for pc0; val/test splits may carry the official ``eval_mask``.
+    """
+
+    def __init__(
+        self,
+        data_dir: str,
+        max_points: int = 131072,
+        remove_ground: bool = True,
+        with_labels: bool = True,
+        limit: int = 0,
+    ):
+        self.data_dir = data_dir
+        self.max_points = max_points
+        self.remove_ground = remove_ground
+        self.with_labels = with_labels
+        self.index = build_index(data_dir)
+        if limit:
+            self.index = self.index[:limit]
+        self._files: Dict[str, h5py.File] = {}
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _file(self, path: str) -> h5py.File:
+        f = self._files.get(path)
+        if f is None:
+            f = h5py.File(path, "r")
+            self._files[path] = f
+        return f
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        idx = self.index[i]
+        f = self._file(idx.scene_path)
+        fr0 = _read_frame(f[idx.timestamp0])
+        fr1 = _read_frame(f[idx.timestamp1])
+        n = self.max_points
+
+        def select(fr):
+            keep = np.ones(len(fr["lidar"]), bool)
+            if self.remove_ground and "ground_mask" in fr:
+                keep &= ~fr["ground_mask"][:].astype(bool)
+            return keep
+
+        keep0, keep1 = select(fr0), select(fr1)
+        pc0, m0 = pad_points(fr0["lidar"][keep0], n)
+        pc1, m1 = pad_points(fr1["lidar"][keep1], n)
+
+        sample: Dict[str, np.ndarray] = {
+            "pc0": pc0, "pc1": pc1,
+            "pc0_mask": m0, "pc1_mask": m1,
+            "pose0": fr0["pose"], "pose1": fr1["pose"],
+            "scene_id": idx.scene_id, "timestamp": idx.timestamp0,
+            "num_points0": np.int32(keep0.sum()),
+        }
+        if "ego_motion" in fr0:
+            sample["ego_motion"] = fr0["ego_motion"][:].astype(np.float32)
+
+        if self.with_labels and "flow" in fr0:
+            flow, _ = pad_points(fr0["flow"][keep0].astype(np.float32), n)
+            valid, _ = pad_points(
+                fr0.get("flow_is_valid", np.ones(len(fr0["lidar"]), bool))[keep0]
+                .astype(bool), n)
+            cats, _ = pad_points(
+                fr0.get("flow_category_indices",
+                        np.zeros(len(fr0["lidar"]), np.uint8))[keep0]
+                .astype(np.int32), n)
+            sample.update(flow=flow, flow_is_valid=valid & m0,
+                          flow_category_indices=cats)
+        if "eval_mask" in fr0:
+            em, _ = pad_points(fr0["eval_mask"][keep0].astype(bool), n)
+            sample["eval_mask"] = em & m0
+        return sample
+
+    def close(self):
+        for f in self._files.values():
+            f.close()
+        self._files.clear()
+
+
+_STACK_KEYS = (
+    "pc0", "pc1", "pc0_mask", "pc1_mask", "pose0", "pose1", "ego_motion",
+    "flow", "flow_is_valid", "flow_category_indices", "eval_mask",
+)
+
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack a list of padded samples into batch arrays (+ host-side meta)."""
+    batch: Dict[str, np.ndarray] = {}
+    for key in _STACK_KEYS:
+        if key in samples[0]:
+            batch[key] = np.stack([s[key] for s in samples])
+    batch["scene_id"] = [s["scene_id"] for s in samples]
+    batch["timestamp"] = [s["timestamp"] for s in samples]
+    return batch
+
+
+class DataLoader:
+    """Minimal epoch iterator: shuffling, batching, drop_last, prefetch thread.
+
+    The reference uses a torch DataLoader with worker processes
+    (num_workers=16, 1_train.sh:29-30); here decode is cheap (h5 slices +
+    pad), so a single background thread that stays ahead of the device is
+    enough; heavier host pipelines can swap in without touching callers.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: Optional[bool] = None,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+
+        def gen():
+            for start in range(0, len(order), self.batch_size):
+                sel = order[start:start + self.batch_size]
+                if self.drop_last and len(sel) < self.batch_size:
+                    return
+                yield collate([self.dataset[int(i)] for i in sel])
+
+        if self.prefetch <= 0:
+            yield from gen()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in gen():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item

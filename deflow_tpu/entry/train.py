@@ -1,0 +1,122 @@
+"""``train.py`` entry point (reference README.md:66-74, 1_train.sh:28-34).
+
+CLI contract: ``python train.py model=deflow lr=2e-4 epochs=15 batch_size=16
+loss_fn=deflowLoss`` plus nested/list overrides — composed by the
+Hydra-compatible engine in deflow_tpu.config.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from deflow_tpu.config import Config, from_cli
+from deflow_tpu.data import DataLoader, HDF5Dataset
+from deflow_tpu.models import build_model
+from deflow_tpu import trainer as T
+from deflow_tpu.utils import MetricLogger, StageTimer
+from deflow_tpu.entry.evaluate import run_validation
+
+
+def main(cfg: Optional[Config] = None) -> dict:
+    if cfg is None:
+        cfg = from_cli()
+
+    mesh = T.create_mesh(int(cfg.get("num_devices", -1)))
+    n_dev = mesh.devices.size
+    batch_size = int(cfg.batch_size)
+    if batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must divide evenly over {n_dev} devices")
+
+    train_ds = HDF5Dataset(
+        str(cfg.train_data), max_points=int(cfg.max_points),
+        remove_ground=bool(cfg.remove_ground),
+        limit=int(cfg.get("overfit", 0)),
+    )
+    val_dir = str(cfg.val_data)
+    val_ds = (
+        HDF5Dataset(val_dir, max_points=int(cfg.max_points),
+                    remove_ground=bool(cfg.remove_ground))
+        if os.path.isdir(val_dir) else None
+    )
+    train_loader = DataLoader(train_ds, batch_size, shuffle=True,
+                              seed=int(cfg.seed))
+
+    model = build_model(cfg.model, precision=str(cfg.get("precision", "bf16")))
+    sample = next(iter(DataLoader(train_ds, batch_size, shuffle=False)))
+    state = T.init_state(model, cfg, sample, seed=int(cfg.seed))
+    state = jax.device_put(state, T.replicated(mesh))
+
+    start_epoch = 0
+    if cfg.get("resume"):
+        state, start_epoch = T.load_checkpoint(str(cfg.resume), state)
+        print(f"resumed from {cfg.resume} at epoch {start_epoch}")
+    elif cfg.get("checkpoint"):
+        state = T.load_weights(str(cfg.checkpoint), state)
+        print(f"initialized weights from {cfg.checkpoint}")
+
+    run_name = f"{cfg.model.name}-{cfg.slurm_id}"
+    logger = MetricLogger(
+        project=str(cfg.get("wandb_project", "deflow-tpu")), run_name=run_name,
+        mode=str(cfg.wandb_mode), entity=str(cfg.get("wandb_entity", "")),
+        output_dir=str(cfg.output_dir), config=cfg.to_dict(),
+    )
+    timer = StageTimer("Total")
+
+    train_step = T.jit_train_step(T.make_train_step(model, str(cfg.loss_fn)), mesh)
+    eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
+
+    epochs = int(cfg.epochs)
+    log_every = int(cfg.get("log_every", 10))
+    frames_seen = 0
+    t_train0 = time.perf_counter()
+    final_metrics: dict = {}
+
+    for epoch in range(start_epoch, epochs):
+        for i, host_batch in enumerate(train_loader):
+            with timer.stage("h2d"):
+                batch = T.device_batch(host_batch, mesh)
+            with timer.stage("step"):
+                state, aux = train_step(state, batch)
+            frames_seen += batch_size
+            if i % log_every == 0:
+                aux = jax.device_get(aux)
+                elapsed = time.perf_counter() - t_train0
+                logger.log({
+                    "train/loss": float(aux["loss"]),
+                    "train/epe": float(aux["epe"]),
+                    "train/grad_norm": float(aux["grad_norm"]),
+                    "train/frames_per_sec": frames_seen / elapsed,
+                    "epoch": epoch,
+                }, step=int(state.step))
+                print(f"epoch {epoch} it {i} loss {float(aux['loss']):.4f} "
+                      f"epe {float(aux['epe']):.4f}", flush=True)
+
+        if val_ds is not None and (epoch + 1) % int(cfg.get("eval_every", 1)) == 0:
+            metrics = run_validation(eval_step, state, val_ds, cfg, mesh)
+            logger.log({f"val/{k}": v for k, v in metrics.items()},
+                       step=int(state.step))
+            final_metrics = metrics
+            print(f"epoch {epoch} val EPE_3way_mean "
+                  f"{metrics.get('EPE_3way_mean', float('nan')):.4f}", flush=True)
+
+        if (epoch + 1) % int(cfg.get("ckpt_every", 1)) == 0:
+            path = T.save_checkpoint(logger.ckpt_dir, state, epoch)
+            print(f"saved checkpoint: {path}", flush=True)
+
+    print(timer.report())
+    logger.finish()
+    train_ds.close()
+    if val_ds is not None:
+        val_ds.close()
+    return final_metrics
+
+
+if __name__ == "__main__":
+    main()

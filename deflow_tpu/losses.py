@@ -1,0 +1,102 @@
+"""Scene-flow training losses: deflowLoss / ff3dLoss / zeroflowLoss.
+
+Named by the reference CLI contract ``loss_fn={deflowLoss,ff3dLoss,
+zeroflowLoss}`` (reference README.md:66-68, assets/slurm/1_train.sh:53-60).
+The loss bodies live in the absent OpenSceneFlow submodule [T3 —
+SURVEY.md §2.2]; semantics are implemented from the papers:
+
+- ``deflowLoss`` (DeFlow, arXiv:2401.16122 §III-D): per-point L2 flow error,
+  bucketed by ground-truth speed (static < 0.4 m/s, 0.4–1.0 m/s, dynamic
+  > 1.0 m/s at the 0.1 s sweep interval); the loss is the SUM of the three
+  bucket means, so rare fast movers are not drowned out by the static
+  majority.  Empty buckets contribute zero (the reference skips NaN means).
+- ``ff3dLoss`` (FastFlow3D, Jund et al.): per-point L2 downweighted 10x on
+  background-class points: weight = 0.1 + 0.9 * is_foreground.
+- ``zeroflowLoss`` (ZeroFlow, Vedder et al. §4): per-point L2 scaled by
+  clamp(speed, 0.1, 1.0) — a continuous importance ramp for fast movers,
+  used when distilling from pseudo-labels.
+
+All losses operate on the *network* flow: targets are total ground-truth flow
+minus the rigid ego ``pose_flow`` (the reference trainer subtracts pose_flow
+before the loss, matching model output composition at reference
+deflow.py:74,103-105).  Everything is masked, static-shape jnp — no
+compaction.
+
+Inputs (all [B, N, ...]):
+    pred:  [B, N, 3] network flow
+    gt:    [B, N, 3] target (total gt flow − pose_flow)
+    mask:  [B, N]    points that are real, in-range AND have valid gt flow
+    classes: [B, N] int32 AV2 category index (0 = background) — ff3dLoss only
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+_SWEEP_DT = 0.1  # AV2 lidar sweep interval (s): flow [m] / 0.1 s = speed [m/s]
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of x over mask-true entries; exact 0 when the mask is empty."""
+    s = jnp.sum(jnp.where(mask, x, 0.0))
+    n = jnp.sum(mask)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
+
+
+def _epe(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.norm(pred - gt, axis=-1)
+
+
+def deflow_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    classes: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    err = _epe(pred, gt)
+    speed = jnp.linalg.norm(gt, axis=-1) / _SWEEP_DT
+    slow = mask & (speed < 0.4)
+    mid = mask & (speed >= 0.4) & (speed <= 1.0)
+    fast = mask & (speed > 1.0)
+    return _masked_mean(err, slow) + _masked_mean(err, mid) + _masked_mean(err, fast)
+
+
+def ff3d_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    classes: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    err = _epe(pred, gt)
+    if classes is None:
+        weight = jnp.ones_like(err)
+    else:
+        weight = 0.1 + 0.9 * (classes > 0).astype(err.dtype)
+    return _masked_mean(err * weight, mask)
+
+
+def zeroflow_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    classes: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    err = _epe(pred, gt)
+    speed = jnp.linalg.norm(gt, axis=-1) / _SWEEP_DT
+    scale = jnp.clip(speed, 0.1, 1.0)
+    return _masked_mean(err * scale, mask)
+
+
+LOSS_REGISTRY: Dict[str, Callable] = {
+    "deflowLoss": deflow_loss,
+    "ff3dLoss": ff3d_loss,
+    "zeroflowLoss": zeroflow_loss,
+}
+
+
+def get_loss(name: str) -> Callable:
+    if name not in LOSS_REGISTRY:
+        raise KeyError(f"unknown loss_fn {name!r}; options: {sorted(LOSS_REGISTRY)}")
+    return LOSS_REGISTRY[name]

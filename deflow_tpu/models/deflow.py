@@ -1,0 +1,128 @@
+"""DeFlow / FastFlow3D scene-flow model (reference deflow.py:20-113).
+
+Pipeline: ego-motion compensation → dual pillar voxelization → siamese U-Net
+→ per-point decoder head.  One flax module covers both model families — the
+reference builds FastFlow3D as DeFlow with ``decoder_option='linear'``
+(reference deflow.py:33-36; conf groups README.md:62,68).
+
+Batch contract (static-shape analog of reference deflow.py:49-66):
+    pc0, pc1   [B, N, 3] float  — padded point clouds
+    pc0_mask,
+    pc1_mask   [B, N] bool      — real (non-padding) points
+    pose0,
+    pose1      [B, 4, 4] float  — ego→city poses
+    ego_motion [B, 4, 4] float  — optional precomputed pose_0to1
+
+Returns a dict mirroring reference deflow.py:103-112, with validity masks in
+place of ragged ``*_valid_point_idxes`` lists:
+    flow            [B, N, 3]  net flow at pc0 slots (zero where invalid)
+    pose_flow       [B, N, 3]  rigid ego flow at all real pc0 points
+    pc0_valid, pc1_valid [B, N] in-range masks (voxelizer-valid)
+    pc0_points, pc1_points [B, N, 3] (pc0 ego-compensated, as the reference's
+                                      ``voxel_info['points']``)
+Final predicted flow for eval = pose_flow + flow (reference composes these in
+its eval path; invalid points carry pose_flow only).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deflow_tpu.models.decoder import ConvGRUDecoder, LinearDecoder, MMHeadDecoder
+from deflow_tpu.models.embedder import DynamicEmbedder
+from deflow_tpu.models.unet import FastFlow3DUNet
+from deflow_tpu.ops.pose import cal_pose0to1, transform_points
+from deflow_tpu.ops.voxel import VoxelConfig
+
+
+class DeFlow(nn.Module):
+    """Hyperparameter defaults pinned by reference deflow.py:21-30."""
+
+    voxel_size: Sequence[float] = (0.2, 0.2, 6.0)
+    point_cloud_range: Sequence[float] = (-51.2, -51.2, -3.0, 51.2, 51.2, 3.0)
+    grid_feature_size: Sequence[int] = (512, 512)
+    decoder_option: str = "gru"  # gru | linear | mmhead
+    num_iters: int = 4
+    feat_channels: int = 32
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = VoxelConfig(tuple(self.voxel_size), tuple(self.point_cloud_range))
+        gw, gh, _ = cfg.grid_size
+        assert (gw, gh) == tuple(self.grid_feature_size), (
+            f"grid_feature_size {self.grid_feature_size} inconsistent with "
+            f"voxel_size/point_cloud_range-derived grid {(gw, gh)}"
+        )
+        self.voxel_cfg = cfg
+        self.embedder = DynamicEmbedder(
+            voxel_cfg=cfg, feat_channels=self.feat_channels, dtype=self.dtype,
+            name="embedder",
+        )
+        self.backbone = FastFlow3DUNet(dtype=self.dtype, name="backbone")
+        if self.decoder_option == "gru":
+            self.head = ConvGRUDecoder(
+                num_iters=self.num_iters, dtype=self.dtype, name="head"
+            )
+        elif self.decoder_option == "linear":
+            self.head = LinearDecoder(dtype=self.dtype, name="head")
+        elif self.decoder_option == "mmhead":
+            self.head = MMHeadDecoder(dtype=self.dtype, name="head")
+        else:
+            raise ValueError(f"unknown decoder_option: {self.decoder_option!r}")
+
+    def __call__(
+        self,
+        pc0: jnp.ndarray,
+        pc1: jnp.ndarray,
+        pose0: jnp.ndarray,
+        pose1: jnp.ndarray,
+        pc0_mask: jnp.ndarray,
+        pc1_mask: jnp.ndarray,
+        ego_motion: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        # Ego-motion compensation in f32 regardless of compute dtype: poses
+        # carry ~1e3-scale translations where bf16 would cost millimeters.
+        if ego_motion is None:
+            pose_0to1 = cal_pose0to1(pose0.astype(jnp.float32), pose1.astype(jnp.float32))
+        else:
+            pose_0to1 = ego_motion.astype(jnp.float32)
+        transform_pc0 = transform_points(pc0.astype(jnp.float32), pose_0to1)
+        pose_flow = jnp.where(
+            pc0_mask[..., None], transform_pc0 - pc0.astype(jnp.float32), 0.0
+        )
+
+        img0, info0 = self.embedder(transform_pc0, pc0_mask, train)
+        img1, info1 = self.embedder(pc1.astype(jnp.float32), pc1_mask, train)
+
+        grid_flow_img = self.backbone(img0, img1, train)
+        before_img = jnp.concatenate([img0, img1], axis=-1)
+        flow = self.head(before_img, grid_flow_img, info0, train)
+
+        return {
+            "flow": flow.astype(jnp.float32),
+            "pose_flow": pose_flow,
+            "pc0_valid": info0.valid,
+            "pc1_valid": info1.valid,
+            "pc0_points": info0.points,
+            "pc1_points": info1.points,
+        }
+
+
+def build_model(model_cfg, precision: str = "fp32") -> DeFlow:
+    """Instantiate from a composed config's ``model.target`` node
+    (the Hydra ``_target_`` contract, reference conf/model/*.yaml)."""
+    target = model_cfg.target if "target" in model_cfg else model_cfg
+    dtype = jnp.bfloat16 if str(precision) in ("bf16", "bfloat16") else jnp.float32
+    return DeFlow(
+        voxel_size=tuple(target.voxel_size),
+        point_cloud_range=tuple(target.point_cloud_range),
+        grid_feature_size=tuple(target.grid_feature_size),
+        decoder_option=str(target.decoder_option),
+        num_iters=int(target.num_iters),
+        feat_channels=int(target.get("feat_channels", 32)),
+        dtype=dtype,
+    )

@@ -1,0 +1,127 @@
+"""DynamicEmbedder: dynamic pillar voxelization + PointNet-lite feature net.
+
+The reference imports ``DynamicEmbedder`` (reference deflow.py:16,27-30) which
+wraps mmcv/mmdet3d's dynamic voxelization + ``DynamicPillarFeatureNet`` +
+``PointPillarsScatter`` CUDA path (reference README.md:38; SURVEY.md §2.2).
+Behavior rebuilt here, TPU-first:
+
+- points keep fixed ``[B, N]`` slots with a validity mask instead of being
+  compacted (static shapes for XLA; reference's ragged per-sample loops at
+  deflow.py:60 are gone),
+- per-point 9-d feature = [xyz, xyz - pillar centroid, xyz - pillar center]
+  (mmdet3d DynamicPillarFeatureNet with cluster+voxel center, in_channels=3),
+- Linear(9→C, no bias) + BatchNorm1d(eps=1e-3, momentum=0.01) + ReLU, where
+  the batch statistics run over *valid points only* (the reference normalizes
+  compacted points) — hence the masked batch-norm below,
+- mean-scatter into the [H, W, C] pseudoimage (``DynamicScatter(avg)`` +
+  ``PointPillarsScatter`` semantics; empty pillars are exact zeros).
+
+Returned ``PillarInfo`` carries the static-shape analog of the reference's
+``voxel_info`` dicts {points, point_idxes, point_offsets, voxel_coords}
+(reference deflow.py:97-101, decoder.py:65-66).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deflow_tpu.ops.voxel import (
+    PillarInfo,
+    VoxelConfig,
+    compute_pillar_info,
+    pillar_centroids,
+    pillar_max_scatter,
+    pillar_mean_scatter,
+)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the valid subset of a padded [..., C] point buffer.
+
+    Mirrors torch ``BatchNorm1d`` applied to compacted points: batch mean/var
+    are computed only over ``mask``-true rows; running stats updated the torch
+    way (``ra = (1 - momentum) * ra + momentum * batch``, unbiased var into
+    running_var, biased var used for normalization).
+    """
+
+    momentum: float = 0.01
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            xf = x.astype(jnp.float32) * m
+            mean = jnp.sum(xf, axis=tuple(range(x.ndim - 1))) / n
+            diff = (x.astype(jnp.float32) - mean) * m
+            var = jnp.sum(diff * diff, axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return y.astype(self.dtype)
+
+
+class PillarFeatureNet(nn.Module):
+    """Linear(9→C, bias-free) + masked BN + ReLU per point.
+
+    Torch twin: ``feature_net.pfn_layers.0`` = Sequential(Linear, BatchNorm1d,
+    ReLU) in mmdet3d's DynamicPillarFeatureNet.
+    """
+
+    feat_channels: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats9: jnp.ndarray, mask: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        x = nn.Dense(self.feat_channels, use_bias=False, dtype=self.dtype, name="linear")(feats9)
+        x = MaskedBatchNorm(dtype=self.dtype, name="norm")(x, mask, train)
+        x = nn.relu(x)
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+class DynamicEmbedder(nn.Module):
+    """Point cloud [B, N, 3] + mask [B, N] → pseudoimage [B, H, W, C] + PillarInfo."""
+
+    voxel_cfg: VoxelConfig
+    feat_channels: int = 32
+    scatter_mode: str = "avg"  # avg | max (DynamicScatter mode)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, points: jnp.ndarray, mask: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, PillarInfo]:
+        cfg = self.voxel_cfg
+        info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
+        _, cluster = jax.vmap(lambda i: pillar_centroids(i, cfg))(info)
+        feats9 = jnp.concatenate([info.points, cluster, info.offsets], axis=-1)
+
+        point_feats = PillarFeatureNet(
+            self.feat_channels, dtype=self.dtype, name="feature_net"
+        )(feats9, info.valid, train)
+
+        scatter = pillar_max_scatter if self.scatter_mode == "max" else pillar_mean_scatter
+        image = jax.vmap(lambda f, i: scatter(f, i, cfg))(point_feats, info)
+        return image.astype(self.dtype), info

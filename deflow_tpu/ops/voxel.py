@@ -1,0 +1,218 @@
+"""Dynamic pillar voxelization as static-shaped segment reductions.
+
+The reference backs its ``DynamicEmbedder`` with mmcv's CUDA dynamic
+voxelization + ``DynamicScatter`` ops (reference README.md:38, deflow.py:16):
+points are binned into (z, y, x) pillar coordinates, out-of-range points are
+dropped (hence ``pc0_valid_point_idxes``), per-point features are averaged per
+pillar, and pillar features are scattered into a C x Y x X pseudoimage whose
+(y, x) indices the decoder heads later gather from (reference
+decoder.py:32-37).
+
+TPU-first redesign: no ragged tensors, no compaction.  Every point keeps its
+slot in a fixed-size ``[N, ...]`` buffer with a validity mask; out-of-range and
+padding points are routed to a trash pillar (index ``num_pillars``) so every
+op is a fixed-shape ``segment_sum``/gather that XLA can fuse and tile.  The
+reference's per-sample Python loops (deflow.py:60) become ``vmap``.
+
+Semantics matched to mmcv dynamic voxelization:
+- pillar coordinate = floor((p - range_min) / voxel_size), valid iff
+  0 <= coord < grid_size on all three axes (boundary points at range_max drop);
+- cluster offset = point - mean of points in its pillar;
+- center offset = point - geometric pillar center.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class VoxelConfig:
+    """Static voxel-grid geometry (hashable -> usable as a jit static arg)."""
+
+    voxel_size: Tuple[float, float, float] = (0.2, 0.2, 6.0)
+    point_cloud_range: Tuple[float, float, float, float, float, float] = (
+        -51.2, -51.2, -3.0, 51.2, 51.2, 3.0,
+    )
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        """(W_x, H_y, D_z) derived from range / voxel size.
+
+        Derived rather than taken on faith from ``grid_feature_size`` so the
+        reference's voxel-size ablations (1_train.sh:74 ``voxel_size=[0.1,..]``)
+        stay geometrically consistent.
+        """
+        lo = self.point_cloud_range[:3]
+        hi = self.point_cloud_range[3:]
+        return tuple(
+            int(round((h - l) / v)) for l, h, v in zip(lo, hi, self.voxel_size)
+        )
+
+    @property
+    def num_pillars(self) -> int:
+        w, h, _ = self.grid_size
+        return w * h
+
+    @property
+    def pseudoimage_hw(self) -> Tuple[int, int]:
+        w, h, _ = self.grid_size
+        return (h, w)
+
+
+class PillarInfo(NamedTuple):
+    """Per-point pillar assignment for one sample (all arrays length N).
+
+    The static-shape analog of the reference's per-sample ``voxel_info`` dict
+    {points, point_idxes, point_offsets, voxel_coords} (deflow.py:97-101,
+    decoder.py:65-66): positional masks replace compacted index lists.
+    """
+
+    pillar_id: jnp.ndarray     # [N] int32 in [0, num_pillars]; num_pillars = trash
+    valid: jnp.ndarray         # [N] bool: in range AND not padding
+    coords_yx: jnp.ndarray     # [N, 2] int32 (y, x); zeros where invalid
+    offsets: jnp.ndarray       # [N, 3] f32 point - pillar center ("point_offsets")
+    points: jnp.ndarray        # [N, 3] f32 input points, zeroed where invalid
+
+
+def compute_pillar_info(
+    points: jnp.ndarray, mask: jnp.ndarray, cfg: VoxelConfig
+) -> PillarInfo:
+    """Bin points ([N, 3]) into pillars; mask ([N] bool) marks real points."""
+    w, h, d = cfg.grid_size
+    vsz = jnp.asarray(cfg.voxel_size, dtype=points.dtype)
+    lo = jnp.asarray(cfg.point_cloud_range[:3], dtype=points.dtype)
+
+    safe_points = jnp.where(mask[:, None], points, 0.0)
+    # The barrier stops XLA from constant-folding the divide into a
+    # reciprocal multiply, which flips floor() at exact bin boundaries
+    # (e.g. 79.2/0.8: true division 98.99999 -> bin 98, 79.2*1.25 = 99.0 ->
+    # bin 99).  The reference CUDA voxelizer uses true IEEE f32 division;
+    # binning must match it point-for-point.
+    rel = (safe_points - lo) / jax.lax.optimization_barrier(vsz)
+    coords = jnp.floor(rel).astype(jnp.int32)  # [N, 3] (x, y, z)
+    in_range = (
+        mask
+        & (coords[:, 0] >= 0) & (coords[:, 0] < w)
+        & (coords[:, 1] >= 0) & (coords[:, 1] < h)
+        & (coords[:, 2] >= 0) & (coords[:, 2] < d)
+        & jnp.all(jnp.isfinite(points), axis=-1)
+    )
+
+    cx = jnp.clip(coords[:, 0], 0, w - 1)
+    cy = jnp.clip(coords[:, 1], 0, h - 1)
+    cz = jnp.clip(coords[:, 2], 0, d - 1)
+    pillar_id = jnp.where(in_range, cy * w + cx, cfg.num_pillars).astype(jnp.int32)
+
+    center = (jnp.stack([cx, cy, cz], axis=-1).astype(points.dtype) + 0.5) * vsz + lo
+    offsets = jnp.where(in_range[:, None], safe_points - center, 0.0)
+
+    coords_yx = jnp.where(
+        in_range[:, None], jnp.stack([cy, cx], axis=-1), 0
+    ).astype(jnp.int32)
+    clean_points = jnp.where(in_range[:, None], safe_points, 0.0)
+    return PillarInfo(pillar_id, in_range, coords_yx, offsets, clean_points)
+
+
+def _segment_sum(
+    data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Segment sum over the trash-extended pillar range.
+
+    Pure-XLA scatter-add path.  A sorted/Pallas variant can be swapped in here
+    after profiling; the API (and gradients) stay identical.
+    """
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def pillar_centroids(
+    info: PillarInfo, cfg: VoxelConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pillar point count and centroid, gathered back per point.
+
+    Returns ``(counts [N], cluster_offsets [N, 3])`` where cluster_offsets =
+    point - centroid(points in same pillar) — the ``f_cluster`` feature of the
+    pillar feature net.  One fused segment pass over [x, y, z, 1].
+    """
+    n = info.points.shape[0]
+    ones = info.valid.astype(info.points.dtype)
+    data = jnp.concatenate([info.points, ones[:, None]], axis=-1)  # [N, 4]
+    sums = _segment_sum(data, info.pillar_id, cfg.num_pillars + 1)  # [P+1, 4]
+    counts = sums[:, 3]
+    centroid = sums[:, :3] / jnp.maximum(counts, 1.0)[:, None]
+    per_point_centroid = centroid[info.pillar_id]
+    cluster = jnp.where(info.valid[:, None], info.points - per_point_centroid, 0.0)
+    per_point_count = counts[info.pillar_id]
+    return per_point_count, cluster
+
+
+def pillar_mean_scatter(
+    feats: jnp.ndarray, info: PillarInfo, cfg: VoxelConfig
+) -> jnp.ndarray:
+    """Average per-point features into the [H, W, C] pseudoimage.
+
+    The TPU equivalent of mmcv ``DynamicScatter(mode='avg')`` +
+    ``PointPillarsScatter`` (SURVEY.md §2.3 native component #1).  Empty
+    pillars are exact zeros, matching the scatter-into-zeros semantics.
+    """
+    h, w = cfg.pseudoimage_hw
+    c = feats.shape[-1]
+    feats = jnp.where(info.valid[:, None], feats, 0.0)
+    ones = info.valid.astype(feats.dtype)
+    data = jnp.concatenate([feats, ones[:, None]], axis=-1)
+    sums = _segment_sum(data, info.pillar_id, cfg.num_pillars + 1)
+    pillar_feats = sums[: cfg.num_pillars, :c] / jnp.maximum(
+        sums[: cfg.num_pillars, c:], 1.0
+    )
+    return pillar_feats.reshape(h, w, c)
+
+
+def pillar_max_scatter(
+    feats: jnp.ndarray, info: PillarInfo, cfg: VoxelConfig
+) -> jnp.ndarray:
+    """Max-reduce per-point features into the [H, W, C] pseudoimage.
+
+    The ``DynamicScatter(mode='max')`` variant.  Empty pillars are exact zeros
+    (matching scatter-into-zero-canvas semantics); gradients flow to the
+    argmax point per pillar (``segment_max``'s subgradient), matching
+    torch_scatter/mmcv behavior.
+    """
+    h, w = cfg.pseudoimage_hw
+    c = feats.shape[-1]
+    neg = jnp.asarray(-3.0e38, feats.dtype)
+    masked = jnp.where(info.valid[:, None], feats, neg)
+    maxed = jax.ops.segment_max(
+        masked, info.pillar_id, num_segments=cfg.num_pillars + 1
+    )[: cfg.num_pillars]
+    counts = _segment_sum(
+        info.valid.astype(feats.dtype), info.pillar_id, cfg.num_pillars + 1
+    )[: cfg.num_pillars]
+    maxed = jnp.where(counts[:, None] > 0, maxed, 0.0)
+    return maxed.reshape(h, w, c)
+
+
+def pseudoimage_gather(
+    image: jnp.ndarray, coords_yx: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather per-point features from an [H, W, C] pseudoimage ("unpillar").
+
+    The static-shape form of the reference's advanced indexing
+    ``pseudoimage[:, vc[:, 1], vc[:, 2]].T`` (decoder.py:34-37); invalid slots
+    read as zeros.
+    """
+    h, w, c = image.shape
+    flat = image.reshape(h * w, c)
+    idx = coords_yx[:, 0] * w + coords_yx[:, 1]
+    out = flat[jnp.clip(idx, 0, h * w - 1)]
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def voxelize_batch(points: jnp.ndarray, mask: jnp.ndarray, cfg: VoxelConfig):
+    """Convenience: vmapped pillar info for a [B, N, 3] batch."""
+    return jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)

@@ -1,0 +1,245 @@
+"""Training engine: optax + pjit data-parallel mesh + orbax checkpoints.
+
+Replaces the reference's PyTorch-Lightning ``ModelWrapper`` + DDP/NCCL stack
+(reference deflow.py:42-45 ownership contract, README.md:64,76-77; SURVEY.md
+§2.4): one ``jax.sharding.Mesh`` with a single ``data`` axis, batch arrays
+sharded on axis 0, parameters replicated.  Gradient averaging is XLA's
+problem — the loss is a global mean over the sharded batch, so GSPMD inserts
+the cross-device reduction over ICI automatically; there is no hand-written
+collective anywhere.
+
+Batch-norm note: under GSPMD the batch statistics are computed over the
+*global* batch (equivalent to SyncBN).  The reference's DDP default is
+per-GPU BN stats; global stats are strictly more consistent, and eval-mode
+parity is unaffected (running stats are used there).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deflow_tpu.losses import get_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    lr = float(cfg.lr)
+    clip = float(cfg.get("gradient_clip", 0.0) or 0.0)
+    opt_name = str(cfg.get("optimizer", "adam")).lower()
+    if opt_name == "adam":
+        tx = optax.adam(lr)
+    elif opt_name == "adamw":
+        tx = optax.adamw(lr)
+    elif opt_name == "sgd":
+        tx = optax.sgd(lr, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {opt_name!r}")
+    if clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
+
+
+def create_mesh(num_devices: int = -1) -> Mesh:
+    devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+_BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
+               "ego_motion", "flow", "flow_is_valid", "flow_category_indices")
+
+
+def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str, jnp.ndarray]:
+    """Move the array part of a host batch onto the mesh (sharded on axis 0)."""
+    out = {}
+    for k in _BATCH_KEYS:
+        if k in batch:
+            v = batch[k]
+            if mesh is not None:
+                out[k] = jax.device_put(v, batch_sharding(mesh))
+            else:
+                out[k] = jnp.asarray(v)
+    return out
+
+
+def init_state(model, cfg, sample_batch: Dict[str, np.ndarray], seed: int = 0) -> TrainState:
+    variables = model.init(
+        jax.random.key(seed),
+        jnp.asarray(sample_batch["pc0"]), jnp.asarray(sample_batch["pc1"]),
+        jnp.asarray(sample_batch["pose0"]), jnp.asarray(sample_batch["pose1"]),
+        jnp.asarray(sample_batch["pc0_mask"]), jnp.asarray(sample_batch["pc1_mask"]),
+        train=True,
+    )
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(model, loss_name: str) -> Callable:
+    loss_fn = get_loss(loss_name)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def compute_loss(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
+                batch["pc0_mask"], batch["pc1_mask"],
+                ego_motion=batch.get("ego_motion"),
+                train=True, mutable=["batch_stats"],
+            )
+            # Network target: total gt flow minus rigid ego flow (the model's
+            # output composition, reference deflow.py:74,103-105).
+            target = batch["flow"] - out["pose_flow"]
+            mask = out["pc0_valid"] & batch["flow_is_valid"]
+            loss = loss_fn(out["flow"], target, mask,
+                           batch.get("flow_category_indices"))
+            aux = {
+                "loss": loss,
+                "epe": jnp.sum(jnp.where(
+                    mask, jnp.linalg.norm(out["flow"] - target, axis=-1), 0.0))
+                / jnp.maximum(jnp.sum(mask), 1),
+                "valid_points": jnp.sum(mask),
+            }
+            return loss, (mutated["batch_stats"], aux)
+
+        grads, (new_stats, aux) = jax.grad(compute_loss, has_aux=True)(state.params)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return state.apply_gradients(grads, new_stats), aux
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    def eval_step(params, batch_stats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
+            batch["pc0_mask"], batch["pc1_mask"],
+            ego_motion=batch.get("ego_motion"),
+            train=False,
+        )
+        # Final predicted flow: network flow at voxel-valid points plus the
+        # rigid ego flow everywhere (invalid points carry pose_flow only —
+        # the reference's eval composition, SURVEY.md §3.2).
+        total = out["pose_flow"] + jnp.where(
+            out["pc0_valid"][..., None], out["flow"], 0.0)
+        return {"pred_flow": total, "net_flow": out["flow"],
+                "pose_flow": out["pose_flow"], "pc0_valid": out["pc0_valid"]}
+
+    return eval_step
+
+
+def jit_train_step(train_step, mesh: Optional[Mesh]):
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=0)
+    shard = batch_sharding(mesh)
+    repl = replicated(mesh)
+    return jax.jit(
+        train_step,
+        donate_argnums=0,
+        in_shardings=(repl, shard),
+        out_shardings=(repl, repl),
+    )
+
+
+def jit_eval_step(eval_step, mesh: Optional[Mesh]):
+    if mesh is None:
+        return jax.jit(eval_step)
+    shard = batch_sharding(mesh)
+    repl = replicated(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, repl, shard), out_shardings=shard)
+
+
+# ---------------------------------------------------------------- checkpoints
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> str:
+    """Orbax checkpoint per epoch, mirroring the reference's per-epoch
+    ``epoch_N_<model>.ckpt`` retention (reference README.md:76-77)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+    }, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0, "epoch": 0,
+    }
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return state.replace(
+        step=jnp.asarray(restored["step"], jnp.int32),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    ), int(restored["epoch"])
+
+
+def load_weights(path: str, state: TrainState) -> TrainState:
+    """Load weights from either an orbax dir or a torch ``.ckpt`` file."""
+    if path.endswith(".ckpt") or path.endswith(".pth") or path.endswith(".pt"):
+        from deflow_tpu.convert import convert_checkpoint, merge_into_variables
+
+        merged = merge_into_variables(
+            {"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            convert_checkpoint(path),
+        )
+        return state.replace(params=merged["params"],
+                             batch_stats=merged["batch_stats"])
+    new_state, _ = load_checkpoint(path, state)
+    return new_state

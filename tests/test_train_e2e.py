@@ -1,0 +1,121 @@
+"""End-to-end integration: config → data → train loop → eval → ckpt → resume,
+on the virtual 8-device CPU mesh (SURVEY.md §4: the demo-data smoke run, plus
+the multi-device DP test the reference never had)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deflow_tpu.config import compose
+from deflow_tpu.data import DataLoader, HDF5Dataset, make_split
+from deflow_tpu.models import build_model
+from deflow_tpu import trainer as T
+
+SMALL = dict(max_points=1024, voxel=(1.6, 1.6, 6.0), grid=(64, 64))
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("av2e2e"))
+    make_split(root, "train", num_scenes=3, num_frames=4,
+               points_per_frame=900, labeled=True)  # 9 pairs ≥ batch of 8
+    make_split(root, "val", num_scenes=1, num_frames=3,
+               points_per_frame=900, labeled=True, seed=7)
+    return root
+
+
+@pytest.fixture(scope="module")
+def cfg(data_root):
+    c = compose("config", [
+        f"dataset_path={data_root}",
+        "batch_size=8", "lr=1e-3", "epochs=1", "num_workers=0",
+        f"max_points={SMALL['max_points']}",
+        "voxel_size=[1.6, 1.6, 6]",
+        "model.target.grid_feature_size=[64, 64]",
+        "model.target.num_iters=2",
+        "precision=fp32",
+    ])
+    return c
+
+
+def test_mesh_is_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_train_step_runs_and_descends(cfg):
+    mesh = T.create_mesh()
+    assert mesh.devices.size == 8
+    ds = HDF5Dataset(str(cfg.train_data), max_points=int(cfg.max_points))
+    loader = DataLoader(ds, 8, shuffle=False)
+    model = build_model(cfg.model, precision="fp32")
+    host_batch = next(iter(loader))
+    state = T.init_state(model, cfg, host_batch, seed=0)
+    state = jax.device_put(state, T.replicated(mesh))
+    step = T.jit_train_step(T.make_train_step(model, str(cfg.loss_fn)), mesh)
+
+    batch = T.device_batch(host_batch, mesh)
+    losses = []
+    for _ in range(8):
+        state, aux = step(state, batch)
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, f"no descent: {losses}"
+    assert int(aux["valid_points"]) > 0
+    ds.close()
+
+
+def test_eval_step_and_validation(cfg):
+    mesh = T.create_mesh()
+    ds = HDF5Dataset(str(cfg.val_data), max_points=int(cfg.max_points))
+    model = build_model(cfg.model, precision="fp32")
+    loader = DataLoader(ds, 8, shuffle=False, drop_last=False)
+    host_batch = next(iter(loader))
+    state = T.init_state(model, cfg, host_batch, seed=0)
+    state = jax.device_put(state, T.replicated(mesh))
+    eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
+
+    from deflow_tpu.entry.evaluate import run_validation
+    metrics = run_validation(eval_step, state, ds, cfg, mesh)
+    assert np.isfinite(metrics["EPE_3way_mean"])
+    assert "EPE_FD" in metrics and "Static_EPE_mean" in metrics
+    ds.close()
+
+
+def test_checkpoint_roundtrip(cfg, tmp_path):
+    mesh = T.create_mesh()
+    ds = HDF5Dataset(str(cfg.train_data), max_points=int(cfg.max_points))
+    model = build_model(cfg.model, precision="fp32")
+    host_batch = next(iter(DataLoader(ds, 8)))
+    state = T.init_state(model, cfg, host_batch, seed=0)
+    step = T.jit_train_step(T.make_train_step(model, str(cfg.loss_fn)), mesh)
+    state = jax.device_put(state, T.replicated(mesh))
+    state, _ = step(state, T.device_batch(host_batch, mesh))
+
+    path = T.save_checkpoint(str(tmp_path), state, epoch=0)
+    state2 = T.init_state(model, cfg, host_batch, seed=1)
+    state2, epoch = T.load_checkpoint(path, state2)
+    assert epoch == 0
+    assert int(state2.step) == 1
+    p_old = jax.tree.leaves(state.params)[0]
+    p_new = jax.tree.leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(p_old), np.asarray(p_new))
+    ds.close()
+
+
+def test_train_main_entry(cfg, tmp_path):
+    """Full train.py main(): one epoch + validation + checkpointing."""
+    from deflow_tpu.entry.train import main
+    run_cfg = cfg.copy()
+    run_cfg.output_dir = str(tmp_path / "logs")
+    run_cfg.epochs = 1
+    metrics = main(run_cfg)
+    assert "EPE_3way_mean" in metrics
+    ckpt_root = os.path.join(run_cfg.output_dir, "wandb")
+    runs = os.listdir(ckpt_root)
+    assert runs, "no run dir created"
+    ckpts = os.listdir(os.path.join(ckpt_root, runs[0], "checkpoints"))
+    assert any(c.startswith("epoch_") for c in ckpts)

@@ -1,0 +1,106 @@
+// Native host-side point-cloud ops for the deflow_tpu data path.
+//
+// The reference's data layer leans on torch DataLoader worker processes
+// (num_workers=16, reference assets/slurm/1_train.sh:29) to hide per-sample
+// numpy work; this library fuses the per-sample hot loop — ground filter,
+// range crop, pad-to-static, mask/label assembly, SE(3) transform — into one
+// OpenMP C++ pass so a single host thread keeps a TPU fed.  Loaded via
+// ctypes (deflow_tpu/utils/native.py); every caller has a numpy fallback.
+//
+// ABI: plain C, float32/bool/int32 buffers, caller-allocated outputs.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+
+extern "C" {
+
+// Fused select+pad: keep points where !ground (if ground given), write the
+// first `max_points` kept points into out_pts [max_points,3] (zero-padded),
+// out_mask [max_points].  Optional per-point payloads (flow [n,3], labels
+// [n]) are gathered with the same selection into out_flow/out_labels.
+// Returns the number of kept (pre-crop) points.
+int64_t select_pad(const float* pts, const uint8_t* ground, int64_t n,
+                   int64_t max_points,
+                   const float* flow, const int32_t* labels,
+                   const uint8_t* valid,
+                   float* out_pts, uint8_t* out_mask,
+                   float* out_flow, int32_t* out_labels,
+                   uint8_t* out_valid) {
+    std::memset(out_pts, 0, sizeof(float) * max_points * 3);
+    std::memset(out_mask, 0, max_points);
+    if (out_flow) std::memset(out_flow, 0, sizeof(float) * max_points * 3);
+    if (out_labels) std::memset(out_labels, 0, sizeof(int32_t) * max_points);
+    if (out_valid) std::memset(out_valid, 0, max_points);
+
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (ground && ground[i]) continue;
+        if (k < max_points) {
+            out_pts[k * 3 + 0] = pts[i * 3 + 0];
+            out_pts[k * 3 + 1] = pts[i * 3 + 1];
+            out_pts[k * 3 + 2] = pts[i * 3 + 2];
+            out_mask[k] = 1;
+            if (out_flow && flow) {
+                out_flow[k * 3 + 0] = flow[i * 3 + 0];
+                out_flow[k * 3 + 1] = flow[i * 3 + 1];
+                out_flow[k * 3 + 2] = flow[i * 3 + 2];
+            }
+            if (out_labels && labels) out_labels[k] = labels[i];
+            if (out_valid && valid) out_valid[k] = valid[i];
+        }
+        ++k;
+    }
+    return k;
+}
+
+// Apply a 4x4 row-major SE(3) to n points in place-safe fashion (dst may
+// equal src).  OpenMP across points.
+void se3_transform(const float* src, const double* pose, int64_t n,
+                   float* dst) {
+    const double r00 = pose[0], r01 = pose[1], r02 = pose[2], tx = pose[3];
+    const double r10 = pose[4], r11 = pose[5], r12 = pose[6], ty = pose[7];
+    const double r20 = pose[8], r21 = pose[9], r22 = pose[10], tz = pose[11];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        const double x = src[i * 3 + 0], y = src[i * 3 + 1], z = src[i * 3 + 2];
+        dst[i * 3 + 0] = (float)(r00 * x + r01 * y + r02 * z + tx);
+        dst[i * 3 + 1] = (float)(r10 * x + r11 * y + r12 * z + ty);
+        dst[i * 3 + 2] = (float)(r20 * x + r21 * y + r22 * z + tz);
+    }
+}
+
+// Batched collate: gather B sample buffers (pointers) into one contiguous
+// [B, max_points, 3] batch + masks. Parallel over samples.
+void collate_points(const float* const* sample_pts,
+                    const uint8_t* const* sample_masks,
+                    int64_t b, int64_t max_points,
+                    float* out_pts, uint8_t* out_masks) {
+#pragma omp parallel for schedule(static)
+    for (int64_t s = 0; s < b; ++s) {
+        std::memcpy(out_pts + s * max_points * 3, sample_pts[s],
+                    sizeof(float) * max_points * 3);
+        std::memcpy(out_masks + s * max_points, sample_masks[s], max_points);
+    }
+}
+
+// Pillar-coordinate binning on the host (used by preprocessing/statistics;
+// the training path bins on-TPU).  Matches ops/voxel.py semantics: floor in
+// f32, valid iff inside the grid on all axes.
+void bin_points(const float* pts, int64_t n,
+                const float* vmin, const float* vsize,
+                const int32_t* grid, int32_t* out_coords, uint8_t* out_valid) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t ok = 1;
+        for (int a = 0; a < 3; ++a) {
+            const float c = std::floor((pts[i * 3 + a] - vmin[a]) / vsize[a]);
+            const int32_t ci = (int32_t)c;
+            out_coords[i * 3 + a] = ci;
+            if (c < 0.0f || ci >= grid[a]) ok = 0;
+        }
+        out_valid[i] = ok;
+    }
+}
+
+}  // extern "C"

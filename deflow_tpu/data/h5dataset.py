@@ -117,46 +117,50 @@ class HDF5Dataset:
         return f
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        from deflow_tpu.utils import native
+
         idx = self.index[i]
         f = self._file(idx.scene_path)
         fr0 = _read_frame(f[idx.timestamp0])
         fr1 = _read_frame(f[idx.timestamp1])
         n = self.max_points
 
-        def select(fr):
-            keep = np.ones(len(fr["lidar"]), bool)
+        def ground(fr):
             if self.remove_ground and "ground_mask" in fr:
-                keep &= ~fr["ground_mask"][:].astype(bool)
-            return keep
+                return fr["ground_mask"][:].astype(np.uint8)
+            return None
 
-        keep0, keep1 = select(fr0), select(fr1)
-        pc0, m0 = pad_points(fr0["lidar"][keep0], n)
-        pc1, m1 = pad_points(fr1["lidar"][keep1], n)
+        want_labels = self.with_labels and "flow" in fr0
+        n0_raw = len(fr0["lidar"])
+        flow0 = fr0["flow"].astype(np.float32) if want_labels else None
+        cats0 = (fr0.get("flow_category_indices",
+                         np.zeros(n0_raw, np.uint8)).astype(np.int32)
+                 if want_labels else None)
+        valid0 = (fr0.get("flow_is_valid", np.ones(n0_raw, bool)).astype(bool)
+                  if want_labels else None)
+        # fold eval_mask through the same fused gather (as a second bool lane)
+        em0 = fr0["eval_mask"].astype(bool) if "eval_mask" in fr0 else None
+
+        pc0, m0, flow_p, cats_p, valid_p, kept0 = native.select_pad(
+            fr0["lidar"], ground(fr0), n, flow=flow0, labels=cats0, valid=valid0)
+        pc1, m1, _, _, _, _ = native.select_pad(fr1["lidar"], ground(fr1), n)
 
         sample: Dict[str, np.ndarray] = {
             "pc0": pc0, "pc1": pc1,
             "pc0_mask": m0, "pc1_mask": m1,
             "pose0": fr0["pose"], "pose1": fr1["pose"],
             "scene_id": idx.scene_id, "timestamp": idx.timestamp0,
-            "num_points0": np.int32(keep0.sum()),
+            "num_points0": np.int32(kept0),
         }
         if "ego_motion" in fr0:
             sample["ego_motion"] = fr0["ego_motion"][:].astype(np.float32)
-
-        if self.with_labels and "flow" in fr0:
-            flow, _ = pad_points(fr0["flow"][keep0].astype(np.float32), n)
-            valid, _ = pad_points(
-                fr0.get("flow_is_valid", np.ones(len(fr0["lidar"]), bool))[keep0]
-                .astype(bool), n)
-            cats, _ = pad_points(
-                fr0.get("flow_category_indices",
-                        np.zeros(len(fr0["lidar"]), np.uint8))[keep0]
-                .astype(np.int32), n)
-            sample.update(flow=flow, flow_is_valid=valid & m0,
-                          flow_category_indices=cats)
-        if "eval_mask" in fr0:
-            em, _ = pad_points(fr0["eval_mask"][keep0].astype(bool), n)
-            sample["eval_mask"] = em & m0
+        if want_labels:
+            sample.update(flow=flow_p, flow_is_valid=valid_p & m0,
+                          flow_category_indices=cats_p)
+        if em0 is not None:
+            _, _, _, _, em_p, _ = native.select_pad(
+                fr0["lidar"], ground(fr0), n, valid=em0)
+            sample["eval_mask"] = em_p & m0
         return sample
 
     def close(self):

@@ -1,0 +1,129 @@
+"""SeFlow DUFO dynamic-label generation (``process.py``).
+
+The reference generates self-supervised dynamic-point labels for SeFlow
+training on the train split via sharded cluster jobs:
+``python process.py --scene_range a,b --interval k`` (reference
+assets/slurm/dufolabel_sbatch.py:43-46,12).  The label algorithm lives in the
+absent submodule [T3]; semantics reimplemented from the SeFlow paper's DUFOMap
+stage (arXiv:2407.01702 §III): a lidar point is *dynamic* if, in other
+ego-compensated frames of the same scene, its location is observed as
+free space (a ray passed through it).
+
+Host-side numpy implementation, voxel-hash based:
+1. accumulate a scene-level occupancy map over ego-compensated (city-frame)
+   points of all frames within a window,
+2. approximate free-space observation by ray-sampling from each frame's ego
+   origin to its points (the DUFOMap "void" criterion),
+3. a voxel observed occupied in some frames and crossed by rays in others is
+   dynamic; the per-point label is its voxel's verdict,
+4. labels are written back into the ``.h5`` under ``dufo_label`` (uint8),
+   exactly where SeFlow-lineage training reads them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, Tuple
+
+import h5py
+import numpy as np
+
+VOXEL = 0.2
+RAY_STEP = 0.4
+
+
+def _voxel_keys(pts: np.ndarray, voxel: float) -> np.ndarray:
+    c = np.floor(pts / voxel).astype(np.int64)
+    # pack 3×21-bit signed into int64 hash
+    return ((c[:, 0] + (1 << 20)) << 42) | ((c[:, 1] + (1 << 20)) << 21) | (
+        c[:, 2] + (1 << 20))
+
+
+def _ray_free_keys(origin: np.ndarray, pts: np.ndarray, voxel: float,
+                   step: float, margin: float = 0.4) -> np.ndarray:
+    """Voxel keys of free-space samples along rays origin→point (excluding the
+    last ``margin`` meters before the hit)."""
+    d = pts - origin
+    dist = np.linalg.norm(d, axis=1)
+    keep = dist > margin + step
+    d, dist = d[keep], dist[keep]
+    u = d / dist[:, None]
+    keys = []
+    max_t = dist - margin
+    n_steps = int(np.ceil(max_t.max() / step)) if len(dist) else 0
+    for i in range(1, n_steps + 1):
+        t = i * step
+        sel = t < max_t
+        if not sel.any():
+            break
+        keys.append(_voxel_keys(origin + u[sel] * t, voxel))
+    return np.unique(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+
+
+def label_scene(path: str, window: int = 10, voxel: float = VOXEL) -> int:
+    """Write ``dufo_label`` (1 = dynamic) for every frame of one scene file."""
+    with h5py.File(path, "a") as f:
+        ts = sorted(f.keys(), key=int)
+        # pass 1: per-frame city-frame points + free-space key sets
+        city_pts: Dict[str, np.ndarray] = {}
+        occupied: Dict[str, np.ndarray] = {}
+        free: Dict[str, np.ndarray] = {}
+        for t in ts:
+            g = f[t]
+            pc = g["lidar"][:][:, :3].astype(np.float64)
+            if "ground_mask" in g:
+                nonground = ~g["ground_mask"][:].astype(bool)
+            else:
+                nonground = np.ones(len(pc), bool)
+            pose = g["pose"][:]
+            city = pc @ pose[:3, :3].T + pose[:3, 3]
+            city_pts[t] = city
+            occupied[t] = np.unique(_voxel_keys(city[nonground], voxel))
+            free[t] = _ray_free_keys(pose[:3, 3], city[nonground], voxel, RAY_STEP)
+
+        # pass 2: a voxel is dynamic-evidence if free in ≥1 other frame of the
+        # window while occupied in this frame
+        for i, t in enumerate(ts):
+            lo = max(0, i - window // 2)
+            hi = min(len(ts), i + window // 2 + 1)
+            others = [free[ts[j]] for j in range(lo, hi) if j != i]
+            if others:
+                free_union = np.unique(np.concatenate(others))
+                dyn_keys = occupied[t][np.isin(occupied[t], free_union,
+                                               assume_unique=True)]
+            else:
+                dyn_keys = np.empty(0, np.int64)
+            keys = _voxel_keys(city_pts[t], voxel)
+            label = np.isin(keys, dyn_keys).astype(np.uint8)
+            g = f[t]
+            if "dufo_label" in g:
+                del g["dufo_label"]
+            g.create_dataset("dufo_label", data=label, compression="lzf")
+    return len(ts)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True,
+                   help="preprocessed split dir of .h5 scenes (train)")
+    p.add_argument("--scene_range", default="0,-1",
+                   help="a,b slice over the sorted scene list (sharding)")
+    p.add_argument("--interval", type=int, default=1,
+                   help="process every k-th scene (sharding stride)")
+    p.add_argument("--window", type=int, default=10)
+    args = p.parse_args(argv)
+
+    scenes = sorted(fn for fn in os.listdir(args.data_dir) if fn.endswith(".h5"))
+    a, b = (int(x) for x in args.scene_range.split(","))
+    if b < 0:
+        b = len(scenes)
+    shard = scenes[a:b:args.interval]
+    print(f"DUFO labeling {len(shard)} scenes [{a}:{b}:{args.interval}]")
+    for fn in shard:
+        n = label_scene(os.path.join(args.data_dir, fn), window=args.window)
+        print(f"done: {fn} ({n} frames)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

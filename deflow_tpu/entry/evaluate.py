@@ -86,13 +86,9 @@ def write_submission(
             for b in range(bsz):
                 n = int(host_batch["pc0_mask"][b].sum())
                 flow = out["pred_flow"][b][:n].astype(np.float16)
-                valid = out["pc0_valid"][b][:n]
-                if "eval_mask" in host_batch:
-                    sub_mask = host_batch["eval_mask"][b][:n]
-                else:
-                    sub_mask = np.ones(n, bool)
+                # Official av2 submission schema: float16 flow columns, plus
+                # is_dynamic for leaderboard v2 (reference README.md:90-91).
                 df = pd.DataFrame({
-                    "is_valid": valid.astype(bool),
                     "flow_tx_m": flow[:, 0],
                     "flow_ty_m": flow[:, 1],
                     "flow_tz_m": flow[:, 2],

@@ -74,12 +74,20 @@ def main(cfg: Optional[Config] = None) -> dict:
 
     epochs = int(cfg.epochs)
     log_every = int(cfg.get("log_every", 10))
+    profile_steps = int(cfg.get("profile", 0))  # >0: trace this many steps
     frames_seen = 0
+    global_it = 0
     t_train0 = time.perf_counter()
     final_metrics: dict = {}
 
     for epoch in range(start_epoch, epochs):
         for i, host_batch in enumerate(train_loader):
+            if profile_steps and global_it == 2:  # skip compile steps
+                jax.profiler.start_trace(os.path.join(logger.run_dir, "profile"))
+            if profile_steps and global_it == 2 + profile_steps:
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {logger.run_dir}/profile")
+            global_it += 1
             with timer.stage("h2d"):
                 batch = T.device_batch(host_batch, mesh)
             with timer.stage("step"):

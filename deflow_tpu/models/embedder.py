@@ -33,9 +33,10 @@ from deflow_tpu.ops.voxel import (
     PillarInfo,
     VoxelConfig,
     compute_pillar_info,
-    pillar_centroids,
+    make_batched_scatter_plan,
+    pillar_centroids_batched,
     pillar_max_scatter,
-    pillar_mean_scatter,
+    pillar_mean_scatter_batched,
 )
 
 
@@ -115,13 +116,18 @@ class DynamicEmbedder(nn.Module):
     ) -> Tuple[jnp.ndarray, PillarInfo]:
         cfg = self.voxel_cfg
         info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
-        _, cluster = jax.vmap(lambda i: pillar_centroids(i, cfg))(info)
+        # one sort shared by the centroid and feature scatters (TPU path)
+        plan = make_batched_scatter_plan(info.pillar_id, cfg.num_pillars + 1)
+        _, cluster = pillar_centroids_batched(info, cfg, plan)
         feats9 = jnp.concatenate([info.points, cluster, info.offsets], axis=-1)
 
         point_feats = PillarFeatureNet(
             self.feat_channels, dtype=self.dtype, name="feature_net"
         )(feats9, info.valid, train)
 
-        scatter = pillar_max_scatter if self.scatter_mode == "max" else pillar_mean_scatter
-        image = jax.vmap(lambda f, i: scatter(f, i, cfg))(point_feats, info)
+        if self.scatter_mode == "max":
+            image = jax.vmap(lambda f, i: pillar_max_scatter(f, i, cfg))(
+                point_feats, info)
+        else:
+            image = pillar_mean_scatter_batched(point_feats, info, cfg, plan)
         return image.astype(self.dtype), info

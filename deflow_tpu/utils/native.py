@@ -1,0 +1,146 @@
+"""ctypes loader for the native host ops (csrc/libpointops.so).
+
+TPU equivalent of the reference's native data-path layer (its CUDA
+extensions cover device ops — SURVEY.md §2.3; host-side it leans on torch
+DataLoader worker fleets).  Build with ``make -C csrc``; everything here
+degrades to numpy transparently when the library is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _find_lib() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "csrc", "libpointops.so"),
+        os.environ.get("DEFLOW_POINTOPS_LIB", ""),
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.c_int64
+    lib.select_pad.restype = i64
+    lib.select_pad.argtypes = [f32p, u8p, i64, i64, f32p, i32p, u8p,
+                               f32p, u8p, f32p, i32p, u8p]
+    lib.se3_transform.restype = None
+    lib.se3_transform.argtypes = [f32p, f64p, i64, f32p]
+    lib.bin_points.restype = None
+    lib.bin_points.argtypes = [f32p, i64, f32p, f32p, i32p, i32p, u8p]
+    _LIB = lib
+    return lib
+
+
+def _ptr(a: Optional[np.ndarray], ctype):
+    if a is None:
+        return ctypes.cast(None, ctypes.POINTER(ctype))
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def select_pad(
+    pts: np.ndarray,
+    ground: Optional[np.ndarray],
+    max_points: int,
+    flow: Optional[np.ndarray] = None,
+    labels: Optional[np.ndarray] = None,
+    valid: Optional[np.ndarray] = None,
+):
+    """Fused ground-filter + pad-to-static.  Returns
+    (pts [max,3], mask [max], flow?, labels?, valid?, n_kept)."""
+    lib = get_lib()
+    pts = np.ascontiguousarray(pts[:, :3], np.float32)
+    n = len(pts)
+    if lib is None:
+        keep = np.ones(n, bool) if ground is None else ~ground.astype(bool)
+        sel = np.flatnonzero(keep)[:max_points]
+        out_p = np.zeros((max_points, 3), np.float32)
+        out_m = np.zeros(max_points, bool)
+        out_p[: len(sel)] = pts[sel]
+        out_m[: len(sel)] = True
+        gather = lambda a, z: (
+            None if a is None else _pad_gather(a, sel, max_points, z))
+        return (out_p, out_m, gather(flow, np.float32),
+                gather(labels, np.int32), gather(valid, bool), int(keep.sum()))
+
+    ground_c = (None if ground is None
+                else np.ascontiguousarray(ground, np.uint8))
+    flow_c = None if flow is None else np.ascontiguousarray(flow, np.float32)
+    labels_c = None if labels is None else np.ascontiguousarray(labels, np.int32)
+    valid_c = None if valid is None else np.ascontiguousarray(valid, np.uint8)
+
+    out_p = np.zeros((max_points, 3), np.float32)
+    out_m = np.zeros(max_points, np.uint8)
+    out_f = None if flow is None else np.zeros((max_points, 3), np.float32)
+    out_l = None if labels is None else np.zeros(max_points, np.int32)
+    out_v = None if valid is None else np.zeros(max_points, np.uint8)
+    kept = lib.select_pad(
+        _ptr(pts, ctypes.c_float), _ptr(ground_c, ctypes.c_uint8),
+        n, max_points,
+        _ptr(flow_c, ctypes.c_float), _ptr(labels_c, ctypes.c_int32),
+        _ptr(valid_c, ctypes.c_uint8),
+        _ptr(out_p, ctypes.c_float), _ptr(out_m, ctypes.c_uint8),
+        _ptr(out_f, ctypes.c_float), _ptr(out_l, ctypes.c_int32),
+        _ptr(out_v, ctypes.c_uint8))
+    return (out_p, out_m.astype(bool), out_f, out_l,
+            None if out_v is None else out_v.astype(bool), int(kept))
+
+
+def _pad_gather(a, sel, max_points, dtype):
+    out = np.zeros((max_points,) + a.shape[1:], dtype)
+    out[: len(sel)] = a[sel]
+    return out
+
+
+def se3_transform(pts: np.ndarray, pose: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    pts = np.ascontiguousarray(pts[:, :3], np.float32)
+    if lib is None:
+        return (pts @ pose[:3, :3].T.astype(np.float32)
+                + pose[:3, 3].astype(np.float32))
+    pose_c = np.ascontiguousarray(pose, np.float64)
+    out = np.empty_like(pts)
+    lib.se3_transform(_ptr(pts, ctypes.c_float), _ptr(pose_c, ctypes.c_double),
+                      len(pts), _ptr(out, ctypes.c_float))
+    return out
+
+
+def bin_points(pts: np.ndarray, vmin, vsize, grid) -> Tuple[np.ndarray, np.ndarray]:
+    lib = get_lib()
+    pts = np.ascontiguousarray(pts[:, :3], np.float32)
+    if lib is None:
+        c = np.floor((pts - np.asarray(vmin, np.float32))
+                     / np.asarray(vsize, np.float32)).astype(np.int32)
+        ok = ((c >= 0) & (c < np.asarray(grid, np.int32))).all(axis=1)
+        return c, ok
+    coords = np.empty((len(pts), 3), np.int32)
+    ok = np.empty(len(pts), np.uint8)
+    lib.bin_points(
+        _ptr(pts, ctypes.c_float), len(pts),
+        _ptr(np.ascontiguousarray(vmin, np.float32), ctypes.c_float),
+        _ptr(np.ascontiguousarray(vsize, np.float32), ctypes.c_float),
+        _ptr(np.ascontiguousarray(grid, np.int32), ctypes.c_int32),
+        _ptr(coords, ctypes.c_int32), _ptr(ok, ctypes.c_uint8))
+    return coords, ok.astype(bool)

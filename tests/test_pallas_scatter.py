@@ -1,0 +1,112 @@
+"""Pallas pillar-scatter kernel vs jax.ops.segment_sum golden (interpret mode
+on the CPU mesh; the real-TPU path is exercised by bench.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deflow_tpu.ops import pallas_scatter as ps
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas in interpreter mode on CPU."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    # clear the jit cache of the wrapped call so interpret takes effect
+    ps._sorted_scatter.clear_cache()
+    yield
+    ps._sorted_scatter.clear_cache()
+
+
+def test_matches_segment_sum():
+    rng = np.random.default_rng(0)
+    n, c, p = 4096, 33, 2048
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    pid = rng.integers(0, p + 1, n).astype(np.int32)  # includes trash id == p
+
+    got = np.asarray(ps.pillar_sum_scatter_pallas(
+        jnp.asarray(feats), jnp.asarray(pid), p))
+    want = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(feats), jnp.asarray(pid), num_segments=p + 1))[:p]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_empty_and_skewed_pillars():
+    rng = np.random.default_rng(1)
+    n, c, p = 2048, 5, 1024
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    pid = np.zeros(n, np.int32)          # everything in pillar 0
+    pid[-10:] = p - 1
+    got = np.asarray(ps.pillar_sum_scatter_pallas(
+        jnp.asarray(feats), jnp.asarray(pid), p))
+    np.testing.assert_allclose(got[0], feats[:-10].sum(0), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[p - 1], feats[-10:].sum(0), rtol=1e-5, atol=1e-5)
+    assert np.all(got[1:p - 1] == 0)
+
+
+def test_gradient_is_gather():
+    rng = np.random.default_rng(2)
+    n, c, p = 512, 4, 256
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    pid = jnp.asarray(rng.integers(0, p + 1, n).astype(np.int32))
+
+    def loss(f):
+        out = ps.pillar_sum_scatter_pallas(f, pid, p)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(feats)
+    ref = jax.grad(lambda f: jnp.sum(
+        jax.ops.segment_sum(f, pid, num_segments=p + 1)[:p] ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_planned_scatter_matches_plain(monkeypatch):
+    """The shared-sort plan path must equal the plain path (and segment_sum)."""
+    import deflow_tpu.ops.voxel as V
+    from deflow_tpu.ops.pallas_scatter import make_scatter_plan
+
+    rng = np.random.default_rng(4)
+    n, c, p = 2048, 7, 1024
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    pid = jnp.asarray(rng.integers(0, p + 1, n).astype(np.int32))
+
+    plan = make_scatter_plan(pid, p)
+    got = np.asarray(ps.pillar_sum_scatter_pallas(feats, pid, p, plan=plan))
+    want = np.asarray(jax.ops.segment_sum(feats, pid, num_segments=p + 1))[:p]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # gradient through the planned path
+    def loss(f):
+        return jnp.sum(ps.pillar_sum_scatter_pallas(f, pid, p, plan=plan) ** 2)
+    g = jax.grad(loss)(feats)
+    ref = jax.grad(lambda f: jnp.sum(
+        jax.ops.segment_sum(f, pid, num_segments=p + 1)[:p] ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_embedder_plan_path_matches_xla(monkeypatch):
+    """Force the TPU plan path (interpret mode) through the whole embedder and
+    compare against the XLA fallback."""
+    import deflow_tpu.ops.voxel as V
+    from deflow_tpu.models.embedder import DynamicEmbedder
+
+    rng = np.random.default_rng(5)
+    b, n = 2, 1024
+    pts = rng.uniform(-40, 40, (b, n, 3)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-2, 2, (b, n))
+    mask = rng.random((b, n)) > 0.1
+    cfg = V.VoxelConfig((0.8, 0.8, 6.0), (-51.2, -51.2, -3.0, 51.2, 51.2, 3.0))
+    emb = DynamicEmbedder(voxel_cfg=cfg)
+    variables = emb.init(jax.random.key(0), jnp.asarray(pts), jnp.asarray(mask))
+
+    img_xla, info_xla = emb.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
+
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+    img_pl, info_pl = emb.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(img_pl), np.asarray(img_xla),
+                               rtol=1e-4, atol=1e-5)

@@ -138,6 +138,85 @@ def convert_checkpoint(path: str) -> Dict[str, Dict]:
     return {"params": params, "batch_stats": stats}
 
 
+# flax path → torch path, applied as ONE regex pass (sequential substring
+# replacement would re-match inside its own output, e.g. the "u2" in "u1_u2").
+_REVERSE_MAP = {
+    "feature_net.linear": "feature_net.pfn_layers.0.0",
+    "feature_net.norm": "feature_net.pfn_layers.0.1",
+    "u1": "u1_u2.0",
+    "u2": "u1_u2.2",
+    "u4": "u4_u5.0",
+    "u5": "u4_u5.1",
+    "decoder.fc1": "decoder.0",
+    "decoder.fc2": "decoder.2",
+}
+import re as _re
+
+_REVERSE_RE = _re.compile(
+    r"(?<!\w)(" + "|".join(_re.escape(k) for k in sorted(
+        _REVERSE_MAP, key=len, reverse=True)) + r")(?!\w)")
+
+
+def _reverse_key(key: str) -> str:
+    return _REVERSE_RE.sub(lambda m: _REVERSE_MAP[m.group(1)], key)
+
+
+def export_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
+    """Inverse converter: flax variables → reference-layout torch state_dict.
+
+    Lets a model trained here be consumed by reference-lineage tooling (the
+    loader contract at reference deflow.py:41-47): keys prefixed ``model.``,
+    Linear/Conv transposed back, norm scale/bias → weight/bias, batch_stats →
+    running_mean/running_var (+ zero num_batches_tracked per BN).
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, path, collection):
+        for k, v in tree.items():
+            p = path + [k]
+            if isinstance(v, dict) or hasattr(v, "items"):
+                walk(v, p, collection)
+                continue
+            arr = np.asarray(v)
+            parent = ".".join(p[:-1])
+            leaf = p[-1]
+            if collection == "batch_stats":
+                leaf = {"mean": "running_mean", "var": "running_var"}[leaf]
+            elif leaf == "scale":
+                leaf = "weight"
+            elif leaf == "kernel":
+                leaf = "weight"
+                if arr.ndim == 4:        # Conv: HWIO → OIHW
+                    arr = arr.transpose(3, 2, 0, 1)
+                elif arr.ndim == 2:
+                    # Dense → Linear [O, I]; the GRU gates were Conv1d(k=1)
+                    # in the reference, so restore the trailing kernel dim.
+                    arr = arr.T
+                    if any(seg in parent for seg in ("convz", "convr", "convq")):
+                        arr = arr[:, :, None]
+            key = f"{parent}.{leaf}" if parent else leaf
+            out["model." + _reverse_key(key)] = np.ascontiguousarray(
+                arr, dtype=np.float32)
+
+    walk(variables.get("params", {}), [], "params")
+    walk(variables.get("batch_stats", {}), [], "batch_stats")
+    # torch BN modules also carry num_batches_tracked; provide zeros
+    for key in [k for k in out if k.endswith("running_mean")]:
+        out[key.replace("running_mean", "num_batches_tracked")] = np.zeros(
+            (), np.int64)
+    return out
+
+
+def save_torch_checkpoint(variables: Dict, path: str, epoch: int = 0) -> str:
+    """Write a Lightning-compatible ``.ckpt`` from flax variables."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          export_state_dict(variables).items()}
+    torch.save({"state_dict": sd, "epoch": epoch}, path)
+    return path
+
+
 def merge_into_variables(variables: Dict, converted: Dict) -> Dict:
     """Overlay converted weights onto an ``init``-ed variable tree.
 

@@ -62,7 +62,8 @@ def _read_frame(group: h5py.Group) -> Dict[str, np.ndarray]:
     out = {"lidar": group["lidar"][:].astype(np.float32)[:, :3],
            "pose": group["pose"][:].astype(np.float32)}
     for key in ("ground_mask", "flow", "flow_is_valid",
-                "flow_category_indices", "ego_motion", "eval_mask"):
+                "flow_category_indices", "ego_motion", "eval_mask",
+                "dufo_label"):
         if key in group:
             out[key] = group[key][:]
     return out
@@ -161,6 +162,13 @@ class HDF5Dataset:
             _, _, _, _, em_p, _ = native.select_pad(
                 fr0["lidar"], ground(fr0), n, valid=em0)
             sample["eval_mask"] = em_p & m0
+        # SeFlow DUFO dynamic labels (process.py) for SSL training
+        for tag, fr in (("dufo_label0", fr0), ("dufo_label1", fr1)):
+            if "dufo_label" in fr:
+                _, _, _, lab, _, _ = native.select_pad(
+                    fr["lidar"], ground(fr), n,
+                    labels=fr["dufo_label"][:].astype(np.int32))
+                sample[tag] = lab
         return sample
 
     def close(self):
@@ -172,6 +180,7 @@ class HDF5Dataset:
 _STACK_KEYS = (
     "pc0", "pc1", "pc0_mask", "pc1_mask", "pose0", "pose1", "ego_motion",
     "flow", "flow_is_valid", "flow_category_indices", "eval_mask",
+    "dufo_label0", "dufo_label1",
 )
 
 

@@ -69,7 +69,9 @@ def main(cfg: Optional[Config] = None) -> dict:
     )
     timer = StageTimer("Total")
 
-    train_step = T.jit_train_step(T.make_train_step(model, str(cfg.loss_fn)), mesh)
+    train_step = T.jit_train_step(
+        T.make_train_step(model, str(cfg.loss_fn),
+                          remat=bool(cfg.get("remat", False))), mesh)
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
     epochs = int(cfg.epochs)

@@ -100,3 +100,61 @@ def get_loss(name: str) -> Callable:
     if name not in LOSS_REGISTRY:
         raise KeyError(f"unknown loss_fn {name!r}; options: {sorted(LOSS_REGISTRY)}")
     return LOSS_REGISTRY[name]
+
+
+# ------------------------------------------------------------------ SSL losses
+def seflow_loss(
+    out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    truncate: float = 2.0,
+) -> jnp.ndarray:
+    """SeFlow self-supervised loss (arXiv:2407.01702 §IV) [T3 semantics].
+
+    Needs no gt flow; supervision comes from geometry + DUFO dynamic labels
+    (``process.py``):
+      1. chamfer term: pc0 warped by the predicted total flow should match
+         pc1 (truncated at ``truncate`` m);
+      2. static term: DUFO-static points should carry zero net flow (their
+         motion is fully explained by ego motion);
+      3. dynamic chamfer term: DUFO-dynamic points, warped, should find
+         dynamic structure in pc1 (matches within the dynamic subset).
+
+    Signature differs from the supervised losses: SSL losses consume the raw
+    model output dict + batch (total flow = net + pose_flow).
+    """
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    net = out["flow"]
+    total = out["pose_flow"] + net
+    pc0, pc1 = batch["pc0"], batch["pc1"]
+    m0 = out["pc0_valid"] & batch["pc0_mask"]
+    m1 = out["pc1_valid"] & batch["pc1_mask"]
+    dufo0 = batch.get("dufo_label0")
+    dufo1 = batch.get("dufo_label1")
+
+    warped = pc0 + total
+    t2 = truncate * truncate
+
+    def frame_terms(b):
+        d0, d1 = chamfer_distance(warped[b], pc1[b], m0[b], m1[b])
+        cham = (_masked_mean(jnp.minimum(d0, t2), m0[b])
+                + _masked_mean(jnp.minimum(d1, t2), m1[b]))
+        terms = cham
+        if dufo0 is not None:
+            static = m0[b] & (dufo0[b] == 0)
+            terms = terms + _masked_mean(jnp.sum(net[b] ** 2, axis=-1), static)
+            if dufo1 is not None:
+                dyn0 = m0[b] & (dufo0[b] > 0)
+                dyn1 = m1[b] & (dufo1[b] > 0)
+                dd0, dd1 = chamfer_distance(warped[b], pc1[b], dyn0, dyn1)
+                terms = terms + (_masked_mean(jnp.minimum(dd0, t2), dyn0)
+                                 + _masked_mean(jnp.minimum(dd1, t2), dyn1))
+        return terms
+
+    b = pc0.shape[0]
+    return sum(frame_terms(i) for i in range(b)) / b
+
+
+SSL_LOSS_REGISTRY: Dict[str, Callable] = {
+    "seflowLoss": seflow_loss,
+}

@@ -27,17 +27,21 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from deflow_tpu.ops.voxel import PillarInfo, pseudoimage_gather
+from deflow_tpu.ops.voxel import (
+    PillarInfo, pseudoimage_gather, pseudoimage_gather_batched)
 
 
 def gather_voxel_features(
-    before_img: jnp.ndarray, after_img: jnp.ndarray, info: PillarInfo
+    before_img: jnp.ndarray, after_img: jnp.ndarray, info: PillarInfo,
+    plan=None,
 ) -> jnp.ndarray:
-    """Batched unpillar gather: [B,H,W,C]×2 + PillarInfo → [B, N, 2C]."""
-    g = jax.vmap(pseudoimage_gather)
-    before = g(before_img, info.coords_yx, info.valid)
-    after = g(after_img, info.coords_yx, info.valid)
-    return jnp.concatenate([before, after], axis=-1)
+    """Batched unpillar gather: [B,H,W,C]×2 + PillarInfo → [B, N, 2C].
+
+    Gathering both images as one concatenated [B,H,W,2C] tensor halves the
+    gather count, and ``plan`` routes the backward scatter through the Pallas
+    kernel (ops/voxel.py)."""
+    both = jnp.concatenate([before_img, after_img], axis=-1)
+    return pseudoimage_gather_batched(both, info, plan)
 
 
 class FlowMLP(nn.Module):
@@ -68,9 +72,10 @@ class LinearDecoder(nn.Module):
         before_img: jnp.ndarray,
         after_img: jnp.ndarray,
         info: PillarInfo,
+        plan=None,
         train: bool = False,
     ) -> jnp.ndarray:
-        voxel_feats = gather_voxel_features(before_img, after_img, info)  # [B,N,128]
+        voxel_feats = gather_voxel_features(before_img, after_img, info, plan)  # [B,N,128]
         offset_feats = nn.Dense(128, dtype=self.dtype, name="offset_encoder")(info.offsets)
         flow = FlowMLP(dtype=self.dtype, name="decoder")(
             jnp.concatenate([voxel_feats, offset_feats], axis=-1)
@@ -107,10 +112,11 @@ class ConvGRUDecoder(nn.Module):
         before_img: jnp.ndarray,
         after_img: jnp.ndarray,
         info: PillarInfo,
+        plan=None,
         train: bool = False,
     ) -> jnp.ndarray:
         c = self.pseudoimage_channels
-        voxel_feats = gather_voxel_features(before_img, after_img, info)  # [B,N,2c]
+        voxel_feats = gather_voxel_features(before_img, after_img, info, plan)  # [B,N,2c]
         offset_feats = nn.Dense(c, dtype=self.dtype, name="offset_encoder")(info.offsets)
 
         gru = ConvGRU(hidden_dim=2 * c, dtype=self.dtype, name="gru")
@@ -170,9 +176,10 @@ class MMHeadDecoder(nn.Module):
         before_img: jnp.ndarray,
         after_img: jnp.ndarray,
         info: PillarInfo,
+        plan=None,
         train: bool = False,
     ) -> jnp.ndarray:
-        voxel_feats = gather_voxel_features(before_img, after_img, info)  # [B,N,128]
+        voxel_feats = gather_voxel_features(before_img, after_img, info, plan)  # [B,N,128]
         offset_feats = nn.Dense(128, dtype=self.dtype, name="offset_encoder")(info.offsets)
 
         b, n, d = voxel_feats.shape

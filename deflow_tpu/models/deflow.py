@@ -95,12 +95,12 @@ class DeFlow(nn.Module):
             pc0_mask[..., None], transform_pc0 - pc0.astype(jnp.float32), 0.0
         )
 
-        img0, info0 = self.embedder(transform_pc0, pc0_mask, train)
-        img1, info1 = self.embedder(pc1.astype(jnp.float32), pc1_mask, train)
+        img0, info0, plan0 = self.embedder(transform_pc0, pc0_mask, train)
+        img1, info1, _ = self.embedder(pc1.astype(jnp.float32), pc1_mask, train)
 
         grid_flow_img = self.backbone(img0, img1, train)
         before_img = jnp.concatenate([img0, img1], axis=-1)
-        flow = self.head(before_img, grid_flow_img, info0, train)
+        flow = self.head(before_img, grid_flow_img, info0, plan0, train)
 
         return {
             "flow": flow.astype(jnp.float32),

@@ -113,7 +113,9 @@ class DynamicEmbedder(nn.Module):
     @nn.compact
     def __call__(
         self, points: jnp.ndarray, mask: jnp.ndarray, train: bool = False
-    ) -> Tuple[jnp.ndarray, PillarInfo]:
+    ):
+        """Returns (pseudoimage, PillarInfo, ScatterPlan-or-None); the plan is
+        reused by the decoder gather's Pallas backward."""
         cfg = self.voxel_cfg
         info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
         # one sort shared by the centroid and feature scatters (TPU path)
@@ -130,4 +132,4 @@ class DynamicEmbedder(nn.Module):
                 point_feats, info)
         else:
             image = pillar_mean_scatter_batched(point_feats, info, cfg, plan)
-        return image.astype(self.dtype), info
+        return image.astype(self.dtype), info, plan

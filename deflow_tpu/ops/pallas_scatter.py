@@ -43,12 +43,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 512     # output pillar rows per grid step
-CHUNK = 512      # sorted points DMA'd per inner iteration
-LANE = 128       # feature padding (TPU lane width)
+TILE_P = 1024    # output pillar rows per grid step
+CHUNK = 1024     # sorted points DMA'd per inner iteration
+LANE = 128       # feature padding (TPU lane width); id shares the slab
 
 
-def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems):
+def _make_kernel(id_lane):
+  def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems):
     k = pl.program_id(0)
     num_tiles = pl.num_programs(0)
     start = starts_ref[k]
@@ -87,7 +88,7 @@ def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems):
     pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 0)
 
     def contrib(chunk_idx):
-        local_f = fbuf[slot, :, c_pad] - jnp.float32(tile_base)  # id column
+        local_f = fbuf[slot, :, id_lane] - jnp.float32(tile_base)  # id column
         gpos = chunk_idx * CHUNK + pos
         keep = (gpos >= start) & (gpos < end) & (cols_f == local_f[:, None])
         onehot = jnp.where(keep, 1.0, 0.0)
@@ -112,18 +113,34 @@ def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems):
     acc = jax.lax.fori_loop(0, nchunks, body, acc)
     out_ref[:] = acc
 
+  return _scatter_kernel
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("num_pillars", "c_pad"))
+def _pack(sorted_feats, sorted_pid, n, n_pad, c, c_pad):
+    """Sorted feats + id → one f32 slab.  id rides lane ``c`` when it fits in
+    the same 128-lane block (the common case), else a separate LANE block."""
+    sf = jnp.pad(sorted_feats.astype(jnp.float32),
+                 ((0, n_pad - n), (0, c_pad - c)))
+    idf = sorted_pid.astype(jnp.float32)
+    if c <= c_pad - 1 and c_pad == LANE:
+        packed = sf.at[:, c].set(idf)
+        return packed, c
+    id_col = jnp.zeros((n_pad, LANE), jnp.float32).at[:, 0].set(idf)
+    return jnp.concatenate([sf, id_col], axis=1), c_pad
+
+
+@functools.partial(jax.jit, static_argnames=("num_pillars", "c_pad", "id_lane"))
 def _sorted_scatter(packed: jnp.ndarray, sorted_pid: jnp.ndarray,
-                    num_pillars: int, c_pad: int) -> jnp.ndarray:
+                    num_pillars: int, c_pad: int, id_lane: int) -> jnp.ndarray:
     """Pallas call on sorted input.
 
-    ``packed``: [N_pad, c_pad + LANE] f32 — features in lanes [0, c_pad),
-    the pillar id (as float) in lane c_pad, zeros beyond.
+    ``packed``: [N_pad, slab] f32 — features in lanes [0, id_lane), the pillar
+    id (as float) at lane ``id_lane``, zeros beyond.  For C ≤ 126 the id fits
+    inside one 128-lane slab, halving DMA volume vs a separate id block.
     """
     p_pad = _round_up(num_pillars, TILE_P)
     num_tiles = p_pad // TILE_P
@@ -143,7 +160,7 @@ def _sorted_scatter(packed: jnp.ndarray, sorted_pid: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        _scatter_kernel,
+        _make_kernel(id_lane),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p_pad, c_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -202,12 +219,8 @@ def _planned_scatter(feats, plan, num_pillars):
     n, c = feats.shape
     n_pad = plan.sorted_pid.shape[0]
     c_pad = _round_up(max(c, 1), LANE)
-    sorted_feats = jnp.pad(
-        feats[plan.order].astype(jnp.float32), ((0, n_pad - n), (0, c_pad - c)))
-    id_col = jnp.zeros((n_pad, LANE), jnp.float32).at[:, 0].set(
-        plan.sorted_pid.astype(jnp.float32))
-    packed = jnp.concatenate([sorted_feats, id_col], axis=1)
-    out = _sorted_scatter(packed, plan.sorted_pid, num_pillars, c_pad)
+    packed, id_lane = _pack(feats[plan.order], plan.sorted_pid, n, n_pad, c, c_pad)
+    out = _sorted_scatter(packed, plan.sorted_pid, num_pillars, c_pad, id_lane)
     return out[:, :c].astype(feats.dtype)
 
 
@@ -234,14 +247,9 @@ def _pillar_sum_scatter(feats, pid, num_pillars):
 
     order = jnp.argsort(pid)
     sorted_pid = jnp.pad(pid[order], (0, n_pad - n), constant_values=sentinel)
-    sorted_feats = jnp.pad(
-        feats[order].astype(jnp.float32), ((0, n_pad - n), (0, c_pad - c)))
-    id_col = jnp.zeros((n_pad, LANE), jnp.float32).at[:, 0].set(
-        sorted_pid.astype(jnp.float32))
-    packed = jnp.concatenate([sorted_feats, id_col], axis=1)
-
+    packed, id_lane = _pack(feats[order], sorted_pid, n, n_pad, c, c_pad)
     out = _sorted_scatter(packed, sorted_pid.astype(jnp.int32),
-                          num_pillars, c_pad)
+                          num_pillars, c_pad, id_lane)
     return out[:, :c].astype(feats.dtype)
 
 

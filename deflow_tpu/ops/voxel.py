@@ -306,3 +306,60 @@ def pseudoimage_gather(
 def voxelize_batch(points: jnp.ndarray, mask: jnp.ndarray, cfg: VoxelConfig):
     """Convenience: vmapped pillar info for a [B, N, 3] batch."""
     return jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
+
+
+def _float0_like(x):
+    import numpy as _np
+
+    return _np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _gather_planned(image_flat, pillar_id, valid, plan):
+    """take_along_axis gather whose VJP scatters through the Pallas kernel.
+
+    XLA lowers the gather's natural backward (scatter-add of per-point
+    cotangents into the pseudoimage) as badly as the forward voxelizer
+    scatter; with the embedder's ScatterPlan already in hand, the backward
+    reuses the sorted-scatter kernel for free.
+    """
+    idx = jnp.clip(pillar_id, 0, image_flat.shape[1] - 1)[..., None]
+    out = jnp.take_along_axis(
+        image_flat, jnp.broadcast_to(idx, idx.shape[:-1] + (image_flat.shape[-1],)),
+        axis=1)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _gather_planned_fwd(image_flat, pillar_id, valid, plan):
+    out = _gather_planned(image_flat, pillar_id, valid, plan)
+    return out, (pillar_id, valid, plan, image_flat.shape)
+
+
+def _gather_planned_bwd(res, g):
+    pillar_id, valid, plan, shape = res
+    b, p, c = shape
+    g = jnp.where(valid[..., None], g, 0.0)
+    # route padding/invalid slots to the trash row p (discarded below)
+    pid = jnp.where(valid, pillar_id, p)
+    d_flat = segment_sum_batched(g, pid, p + 1, plan)[:, :p].astype(g.dtype)
+    return (d_flat, _float0_like(pillar_id), _float0_like(valid),
+            jax.tree.map(_float0_like, plan))
+
+
+_gather_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
+
+
+def pseudoimage_gather_batched(
+    image: jnp.ndarray, info: PillarInfo, plan=None
+) -> jnp.ndarray:
+    """Batched unpillar gather [B, H, W, C] → [B, N, C].
+
+    With ``plan`` (the embedder's ScatterPlan over ``num_pillars + 1``
+    segments) the backward scatter runs through the Pallas kernel; without it
+    the plain XLA VJP applies.
+    """
+    b, h, w, c = image.shape
+    flat = image.reshape(b, h * w, c)
+    if plan is None:
+        return jax.vmap(pseudoimage_gather)(image, info.coords_yx, info.valid)
+    return _gather_planned(flat, info.pillar_id, info.valid, plan)

@@ -28,7 +28,7 @@ from flax import struct
 from flax.core import FrozenDict
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from deflow_tpu.losses import get_loss
+from deflow_tpu.losses import SSL_LOSS_REGISTRY, get_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -81,7 +81,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 _BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
-               "ego_motion", "flow", "flow_is_valid", "flow_category_indices")
+               "ego_motion", "flow", "flow_is_valid", "flow_category_indices",
+               "dufo_label0", "dufo_label1")
 
 
 def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str, jnp.ndarray]:
@@ -116,18 +117,41 @@ def init_state(model, cfg, sample_batch: Dict[str, np.ndarray], seed: int = 0) -
     )
 
 
-def make_train_step(model, loss_name: str) -> Callable:
-    loss_fn = get_loss(loss_name)
+def make_train_step(model, loss_name: str, remat: bool = False) -> Callable:
+    is_ssl = loss_name in SSL_LOSS_REGISTRY
+    loss_fn = SSL_LOSS_REGISTRY[loss_name] if is_ssl else get_loss(loss_name)
+
+    def forward(params, batch_stats, pc0, pc1, pose0, pose1, m0, m1, ego):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            pc0, pc1, pose0, pose1, m0, m1,
+            ego_motion=ego, train=True, mutable=["batch_stats"],
+        )
+
+    if remat:
+        # rematerialize the forward during backprop: trades FLOPs for HBM so
+        # bigger per-chip batches fit (cfg.remat)
+        forward = jax.checkpoint(forward)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def compute_loss(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+            out, mutated = forward(
+                params, state.batch_stats,
                 batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
                 batch["pc0_mask"], batch["pc1_mask"],
-                ego_motion=batch.get("ego_motion"),
-                train=True, mutable=["batch_stats"],
+                batch.get("ego_motion"),
             )
+            if is_ssl:
+                # self-supervised (SeFlow family): geometry + DUFO labels,
+                # no gt flow required
+                loss = loss_fn(out, batch)
+                mask = out["pc0_valid"] & batch["pc0_mask"]
+                aux = {
+                    "loss": loss,
+                    "epe": jnp.zeros(()),  # no gt to compare against
+                    "valid_points": jnp.sum(mask),
+                }
+                return loss, (mutated["batch_stats"], aux)
             # Network target: total gt flow minus rigid ego flow (the model's
             # output composition, reference deflow.py:74,103-105).
             target = batch["flow"] - out["pose_flow"]

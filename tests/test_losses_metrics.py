@@ -141,3 +141,32 @@ def test_bucketed_static_and_exclusions():
     m = acc.compute()
     np.testing.assert_allclose(m["Static_EPE/BACKGROUND"], 0.02, atol=1e-6)
     assert int(acc.count.sum()) == 10  # bollard points dropped
+
+
+def test_seflow_ssl_loss_runs_and_prefers_truth(tmp_path):
+    """SSL loss must be lower for the true flow than for a wrong flow."""
+    import jax
+    from deflow_tpu.losses import seflow_loss
+    rng = np.random.default_rng(7)
+    n = 256
+    pc0 = rng.uniform(-10, 10, (1, n, 3)).astype(np.float32)
+    true_flow = np.zeros((1, n, 3), np.float32)
+    true_flow[0, :64, 0] = 1.0  # a moving chunk
+    pc1 = pc0 + true_flow
+    mask = np.ones((1, n), bool)
+    dufo = np.zeros((1, n), np.int32)
+    dufo[0, :64] = 1
+    batch = {"pc0": jnp.asarray(pc0), "pc1": jnp.asarray(pc1),
+             "pc0_mask": jnp.asarray(mask), "pc1_mask": jnp.asarray(mask),
+             "dufo_label0": jnp.asarray(dufo), "dufo_label1": jnp.asarray(dufo)}
+    def out_for(flow):
+        return {"flow": jnp.asarray(flow),
+                "pose_flow": jnp.zeros_like(jnp.asarray(flow)),
+                "pc0_valid": jnp.asarray(mask), "pc1_valid": jnp.asarray(mask)}
+    good = float(seflow_loss(out_for(true_flow), batch))
+    bad = float(seflow_loss(out_for(true_flow + 0.5), batch))
+    zero = float(seflow_loss(out_for(np.zeros_like(true_flow)), batch))
+    assert good < bad and good < zero
+    # differentiable
+    g = jax.grad(lambda f: seflow_loss(out_for(true_flow * 0 + f), batch))(0.3)
+    assert np.isfinite(g)

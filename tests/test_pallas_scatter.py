@@ -104,9 +104,50 @@ def test_embedder_plan_path_matches_xla(monkeypatch):
     emb = DynamicEmbedder(voxel_cfg=cfg)
     variables = emb.init(jax.random.key(0), jnp.asarray(pts), jnp.asarray(mask))
 
-    img_xla, info_xla = emb.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
+    img_xla, info_xla, _ = emb.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
 
     monkeypatch.setattr(V, "_use_pallas", lambda: True)
-    img_pl, info_pl = emb.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
+    img_pl, info_pl, plan = emb.apply(variables, jnp.asarray(pts), jnp.asarray(mask))
+    assert plan is not None
     np.testing.assert_allclose(np.asarray(img_pl), np.asarray(img_xla),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_model_grad_plan_path_matches_xla(monkeypatch):
+    """Gradients through the planned gather/scatter path (forced, interpret
+    mode) must match the pure-XLA path — guards the custom VJPs end to end."""
+    import deflow_tpu.ops.voxel as V
+    from deflow_tpu.models import DeFlow
+
+    rng = np.random.default_rng(6)
+    b, n = 1, 512
+    pts = rng.uniform(-40, 40, (b, n, 3)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-2, 2, (b, n))
+    pc1 = rng.uniform(-40, 40, (b, n, 3)).astype(np.float32)
+    pc1[..., 2] = rng.uniform(-2, 2, (b, n))
+    mask = np.ones((b, n), bool)
+    pose = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+
+    model = DeFlow(voxel_size=(1.6, 1.6, 6.0), grid_feature_size=(64, 64),
+                   num_iters=2)
+    variables = model.init(jax.random.key(0), jnp.asarray(pts), jnp.asarray(pc1),
+                           jnp.asarray(pose), jnp.asarray(pose),
+                           jnp.asarray(mask), jnp.asarray(mask))
+
+    def loss(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          jnp.asarray(pts), jnp.asarray(pc1),
+                          jnp.asarray(pose), jnp.asarray(pose),
+                          jnp.asarray(mask), jnp.asarray(mask))
+        return jnp.sum(out["flow"] ** 2)
+
+    g_xla = jax.grad(loss)(variables["params"])
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+    g_pl = jax.grad(loss)(variables["params"])
+
+    flat_x = jax.tree.leaves(g_xla)
+    flat_p = jax.tree.leaves(g_pl)
+    for a, c in zip(flat_x, flat_p):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)

@@ -109,3 +109,30 @@ def test_converter_covers_all_model_params():
     ckpt_leaves = set(leaves(params))
     missing = model_leaves - ckpt_leaves
     assert not missing, f"params not covered by converter: {sorted(missing)}"
+
+
+def test_roundtrip_export_import():
+    """jax → torch-ckpt → jax roundtrip is exact; and the torch twin loads the
+    exported dict without unexpected keys."""
+    tm, jm, variables, pc0, pc1, pose0, pose1 = _build_pair(seed=4, n=512,
+                                                            decoder="gru")
+    from deflow_tpu.convert import export_state_dict
+
+    exported = export_state_dict(
+        {"params": jax.device_get(variables["params"]),
+         "batch_stats": jax.device_get(variables["batch_stats"])})
+
+    # reimport through the forward converter
+    params, stats = convert_state_dict(exported)
+    re_vars = merge_into_variables(variables, {"params": params,
+                                               "batch_stats": stats})
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(re_vars["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # torch twin accepts it (strict: all keys match the reference layout)
+    sd = {k[len("model."):]: torch.from_numpy(np.asarray(v))
+          for k, v in exported.items()}
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+    assert not missing, f"missing keys: {missing[:5]}"

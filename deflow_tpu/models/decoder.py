@@ -84,19 +84,48 @@ class LinearDecoder(nn.Module):
 
 
 class ConvGRU(nn.Module):
-    """GRU cell with per-point (1x1-conv ≡ Dense) gates (decoder.py:123-139)."""
+    """GRU cell with per-point (1x1-conv ≡ Dense) gates (decoder.py:123-139).
+
+    The z and r gates share the same input, so their weights are concatenated
+    into ONE [in, 2H] matmul at apply time — the op is bandwidth-bound on the
+    ~524k-point buffers and this drops a full read of ``hx`` per iteration.
+    Parameters stay as separate ``convz``/``convr`` leaves (checkpoint layout
+    identical to the reference's Conv1d gates).
+    """
 
     hidden_dim: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Dense(self.hidden_dim, dtype=self.dtype, name="convz")(hx))
-        r = nn.sigmoid(nn.Dense(self.hidden_dim, dtype=self.dtype, name="convr")(hx))
+        hd = self.hidden_dim
+        in_dim = h.shape[-1] + x.shape[-1]
+        kz = self.param("convz", _dense_init, (in_dim, hd))
+        kr = self.param("convr", _dense_init, (in_dim, hd))
+        kq = self.param("convq", _dense_init, (in_dim, hd))
+
+        hx = jnp.concatenate([h, x], axis=-1).astype(self.dtype)
+        w_zr = jnp.concatenate([kz["kernel"], kr["kernel"]], axis=-1)
+        b_zr = jnp.concatenate([kz["bias"], kr["bias"]])
+        zr = nn.sigmoid(hx @ w_zr.astype(self.dtype) + b_zr.astype(self.dtype))
+        z, r = zr[..., :hd], zr[..., hd:]
         rh_x = jnp.concatenate([r * h, x], axis=-1)
-        q = nn.tanh(nn.Dense(self.hidden_dim, dtype=self.dtype, name="convq")(rh_x))
+        q = nn.tanh(rh_x @ kq["kernel"].astype(self.dtype)
+                    + kq["bias"].astype(self.dtype))
         return (1 - z) * h + z * q
+
+
+def _dense_init(key, shape):
+    """Dense-compatible param leaf: {'kernel', 'bias'} (same tree layout as
+    nn.Dense so the torch converter keys are unchanged)."""
+    import jax as _jax
+
+    kin, kout = shape
+    kkey, _ = _jax.random.split(key)
+    return {
+        "kernel": nn.initializers.lecun_normal()(kkey, (kin, kout)),
+        "bias": jnp.zeros((kout,), jnp.float32),
+    }
 
 
 class ConvGRUDecoder(nn.Module):

@@ -43,12 +43,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 1024    # output pillar rows per grid step
-CHUNK = 1024     # sorted points DMA'd per inner iteration
+TILE_P = 512     # output pillar rows per grid step
+CHUNK = 512      # sorted points DMA'd per inner iteration
 LANE = 128       # feature padding (TPU lane width); id shares the slab
 
 
-def _make_kernel(id_lane):
+def _make_kernel(id_lane, bf16_ids):
   def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems):
     k = pl.program_id(0)
     num_tiles = pl.num_programs(0)
@@ -83,20 +83,33 @@ def _make_kernel(id_lane):
             dma(jax.lax.rem(k + 1, 2), nstart // CHUNK).start()
 
     tile_base = k * TILE_P
-    cols_f = jax.lax.broadcasted_iota(
-        jnp.int32, (CHUNK, TILE_P), 1).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 0)
 
+    def point_ids():
+        if not bf16_ids:
+            return fbuf[slot, :, id_lane].astype(jnp.int32)
+        # bf16 can only hold ints ≤ 256 exactly; the id rides as three
+        # base-128 digit lanes (each exact), recomposed here on the VPU.
+        a = fbuf[slot, :, id_lane].astype(jnp.int32)
+        b = fbuf[slot, :, id_lane + 1].astype(jnp.int32)
+        c = fbuf[slot, :, id_lane + 2].astype(jnp.int32)
+        return (a * 16384 + b * 128 + c)
+
     def contrib(chunk_idx):
-        local_f = fbuf[slot, :, id_lane] - jnp.float32(tile_base)  # id column
+        local = point_ids() - tile_base
         gpos = chunk_idx * CHUNK + pos
-        keep = (gpos >= start) & (gpos < end) & (cols_f == local_f[:, None])
-        onehot = jnp.where(keep, 1.0, 0.0)
+        keep = (gpos >= start) & (gpos < end) & (cols == local[:, None])
+        onehot = jnp.where(keep, 1.0, 0.0).astype(fbuf.dtype)
+        # bf16 inputs: one native MXU pass is exact (one-hot x bf16 products,
+        # f32 accumulate).  f32 inputs: HIGHEST, since the default pass
+        # rounds operands to bf16 (2e-2 abs err measured).
         return jax.lax.dot_general(
             onehot, fbuf[slot, :, :c_pad],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.DEFAULT if bf16_ids
+                       else jax.lax.Precision.HIGHEST),
         )  # [TILE_P, c_pad]
 
     def body(i, acc):
@@ -121,16 +134,32 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pack(sorted_feats, sorted_pid, n, n_pad, c, c_pad):
-    """Sorted feats + id → one f32 slab.  id rides lane ``c`` when it fits in
+    """Sorted feats + id → one slab in the FEATURE dtype.
+
+    f32 slab: the id rides one lane (exact to 2^24).  bf16 slab: bf16 holds
+    ints ≤ 256 exactly, so the id is decomposed into three base-128 digit
+    lanes.  Either way the id lands at lane ``c`` when the digits fit inside
     the same 128-lane block (the common case), else a separate LANE block."""
-    sf = jnp.pad(sorted_feats.astype(jnp.float32),
-                 ((0, n_pad - n), (0, c_pad - c)))
-    idf = sorted_pid.astype(jnp.float32)
-    if c <= c_pad - 1 and c_pad == LANE:
-        packed = sf.at[:, c].set(idf)
+    dtype = sorted_feats.dtype
+    bf16 = dtype == jnp.bfloat16
+    id_width = 3 if bf16 else 1
+    sf = jnp.pad(sorted_feats, ((0, n_pad - n), (0, c_pad - c)))
+    pid32 = sorted_pid.astype(jnp.int32)
+    if bf16:
+        digits = [(pid32 // 16384).astype(dtype),
+                  ((pid32 // 128) % 128).astype(dtype),
+                  (pid32 % 128).astype(dtype)]
+    else:
+        digits = [pid32.astype(dtype)]
+    if c + id_width <= c_pad and c_pad == LANE:
+        packed = sf
+        for j, d in enumerate(digits):
+            packed = packed.at[:, c + j].set(d)
         return packed, c
-    id_col = jnp.zeros((n_pad, LANE), jnp.float32).at[:, 0].set(idf)
-    return jnp.concatenate([sf, id_col], axis=1), c_pad
+    id_block = jnp.zeros((n_pad, LANE), dtype)
+    for j, d in enumerate(digits):
+        id_block = id_block.at[:, j].set(d)
+    return jnp.concatenate([sf, id_block], axis=1), c_pad
 
 
 @functools.partial(jax.jit, static_argnames=("num_pillars", "c_pad", "id_lane"))
@@ -155,12 +184,12 @@ def _sorted_scatter(packed: jnp.ndarray, sorted_pid: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (TILE_P, c_pad), lambda k, *_: (k, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, packed.shape[1]), jnp.float32),
+            pltpu.VMEM((2, CHUNK, packed.shape[1]), packed.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(id_lane),
+        _make_kernel(id_lane, packed.dtype == jnp.bfloat16),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p_pad, c_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -238,8 +267,15 @@ def _planned_bwd(num_pillars, pid, g):
 _planned_scatter.defvjp(_planned_fwd, _planned_bwd)
 
 
+def _norm_dtype(feats):
+    """Kernel dtypes: bf16 stays bf16 (native pass is exact for one-hot
+    products); anything else computes as f32."""
+    return feats if feats.dtype == jnp.bfloat16 else feats.astype(jnp.float32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _pillar_sum_scatter(feats, pid, num_pillars):
+    feats = _norm_dtype(feats)
     n, c = feats.shape
     n_pad = _round_up(n, CHUNK)
     c_pad = _round_up(max(c, 1), LANE)

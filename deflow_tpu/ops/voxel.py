@@ -228,6 +228,15 @@ def pillar_mean_scatter(
     return pillar_feats.reshape(h, w, c)
 
 
+def _row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather [B, P, C] × [B, N] → [B, N, C].
+
+    vmapped ``table[idx]`` lowers to an XLA gather with (1, C) slices;
+    ``take_along_axis`` with broadcast indices lowers to a per-ELEMENT gather
+    that measured 1.6 s for [4, 262k, 128] on v5e — never use it here."""
+    return jax.vmap(lambda t, i: t[i])(table, idx)
+
+
 def pillar_centroids_batched(
     info: PillarInfo, cfg: VoxelConfig, plan=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -239,12 +248,10 @@ def pillar_centroids_batched(
     sums = segment_sum_batched(data, info.pillar_id, cfg.num_pillars + 1, plan)
     counts = sums[..., 3]
     centroid = sums[..., :3] / jnp.maximum(counts, 1.0)[..., None]
-    idx = info.pillar_id[..., None]
-    per_point_centroid = jnp.take_along_axis(
-        centroid, jnp.broadcast_to(idx, idx.shape[:-1] + (3,)), axis=1)
-    cluster = jnp.where(info.valid[..., None], info.points - per_point_centroid, 0.0)
-    per_point_count = jnp.take_along_axis(counts, info.pillar_id, axis=1)
-    return per_point_count, cluster
+    per_point = _row_gather(
+        jnp.concatenate([centroid, counts[..., None]], axis=-1), info.pillar_id)
+    cluster = jnp.where(info.valid[..., None], info.points - per_point[..., :3], 0.0)
+    return per_point[..., 3], cluster
 
 
 def pillar_mean_scatter_batched(
@@ -316,17 +323,15 @@ def _float0_like(x):
 
 @jax.custom_vjp
 def _gather_planned(image_flat, pillar_id, valid, plan):
-    """take_along_axis gather whose VJP scatters through the Pallas kernel.
+    """Row gather whose VJP scatters through the Pallas kernel.
 
     XLA lowers the gather's natural backward (scatter-add of per-point
     cotangents into the pseudoimage) as badly as the forward voxelizer
     scatter; with the embedder's ScatterPlan already in hand, the backward
     reuses the sorted-scatter kernel for free.
     """
-    idx = jnp.clip(pillar_id, 0, image_flat.shape[1] - 1)[..., None]
-    out = jnp.take_along_axis(
-        image_flat, jnp.broadcast_to(idx, idx.shape[:-1] + (image_flat.shape[-1],)),
-        axis=1)
+    idx = jnp.clip(pillar_id, 0, image_flat.shape[1] - 1)
+    out = _row_gather(image_flat, idx)
     return jnp.where(valid[..., None], out, 0.0)
 
 

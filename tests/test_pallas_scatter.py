@@ -151,3 +151,25 @@ def test_model_grad_plan_path_matches_xla(monkeypatch):
     for a, c in zip(flat_x, flat_p):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_bf16_path_matches_segment_sum():
+    """bf16 slab with base-128 id digit lanes: one-hot x bf16 products are
+    exact, so sums must match the f32 segment_sum to bf16 resolution."""
+    rng = np.random.default_rng(7)
+    n, c, p = 4096, 33, 262144  # large P exercises the 3-digit decomposition
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    pid = rng.integers(0, p + 1, n).astype(np.int32)
+    pid[:32] = p - 1  # a dense far pillar
+    got = np.asarray(ps.pillar_sum_scatter_pallas(
+        jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(pid), p)
+    ).astype(np.float32)
+    want = np.asarray(jax.ops.segment_sum(
+        jnp.asarray(feats).astype(jnp.bfloat16).astype(jnp.float32),
+        jnp.asarray(pid), num_segments=p + 1))[:p]
+    nz = np.abs(want) > 1e-6
+    rel = np.abs(got[nz] - want[nz]) / np.abs(want[nz])
+    assert rel.max() < 1.5e-2, rel.max()  # bf16 resolution
+    # exact-zero empties
+    empty = ~(np.abs(want).sum(1) > 0)
+    assert np.all(got[empty] == 0)

@@ -65,6 +65,65 @@ def _is_norm_path(path: str) -> bool:
     return any(m in path for m in _NORM_MARKERS)
 
 
+def _convert_mha(parts, arr, params, num_heads: int = 4) -> bool:
+    """Map torch ``nn.MultiheadAttention`` leaves onto flax
+    MultiHeadDotProductAttention (the MMHead ablation decoder,
+    reference decoder.py:18-19).  Returns True if the key was consumed.
+
+    torch: in_proj_weight [3d, d] (packed q/k/v), in_proj_bias [3d],
+           out_proj.weight [d, d], out_proj.bias [d]
+    flax:  query/key/value kernel [d, heads, hd], bias [heads, hd];
+           out kernel [heads, hd, d], bias [d].
+    """
+    try:
+        k = parts.index("self_attn") if "self_attn" in parts else parts.index(
+            "multihead_attn")
+    except ValueError:
+        return False
+    attn_path = parts[: k + 1]
+    rest = parts[k + 1:]
+    d = None
+    if rest == ["in_proj_weight"]:
+        d = arr.shape[1]
+        hd = d // num_heads
+        for name, block in zip(("query", "key", "value"),
+                               (arr[:d], arr[d:2 * d], arr[2 * d:])):
+            _set(params, attn_path + [name, "kernel"],
+                 block.T.reshape(d, num_heads, hd))
+        return True
+    if rest == ["in_proj_bias"]:
+        d = arr.shape[0] // 3
+        hd = d // num_heads
+        for name, block in zip(("query", "key", "value"),
+                               (arr[:d], arr[d:2 * d], arr[2 * d:])):
+            _set(params, attn_path + [name, "bias"],
+                 block.reshape(num_heads, hd))
+        return True
+    if rest == ["out_proj", "weight"]:
+        d = arr.shape[0]
+        hd = d // num_heads
+        _set(params, attn_path + ["out", "kernel"],
+             arr.T.reshape(num_heads, hd, d))
+        return True
+    if rest == ["out_proj", "bias"]:
+        _set(params, attn_path + ["out", "bias"], arr)
+        return True
+    return False
+
+
+_MMHEAD_LAYER_RE = None
+
+
+def _rewrite_mmhead(key: str) -> str:
+    """``pts_off_transformer.layers.N.`` → ``layers_N.`` (MMHead naming)."""
+    global _MMHEAD_LAYER_RE
+    import re
+
+    if _MMHEAD_LAYER_RE is None:
+        _MMHEAD_LAYER_RE = re.compile(r"pts_off_transformer\.layers\.(\d+)\.")
+    return _MMHEAD_LAYER_RE.sub(lambda m: f"layers_{m.group(1)}.", key)
+
+
 def convert_state_dict(
     state_dict: Mapping[str, Any], strip_prefix: str = "model."
 ) -> Tuple[Dict, Dict]:
@@ -81,8 +140,13 @@ def convert_state_dict(
             key = key[len(strip_prefix):]
         if key.endswith("num_batches_tracked"):
             continue
+        key = _rewrite_mmhead(key)
         for old, new in _SEGMENT_REWRITES:
             key = key.replace(old, new)
+        if "self_attn" in key or "multihead_attn" in key:
+            if _convert_mha(key.split("."), _to_numpy(value).astype(np.float32),
+                            params):
+                continue
 
         parts = key.split(".")
         leaf = parts[-1]

@@ -83,38 +83,6 @@ class LinearDecoder(nn.Module):
         return jnp.where(info.valid[..., None], flow, 0.0)
 
 
-class ConvGRU(nn.Module):
-    """GRU cell with per-point (1x1-conv ≡ Dense) gates (decoder.py:123-139).
-
-    The z and r gates share the same input, so their weights are concatenated
-    into ONE [in, 2H] matmul at apply time — the op is bandwidth-bound on the
-    ~524k-point buffers and this drops a full read of ``hx`` per iteration.
-    Parameters stay as separate ``convz``/``convr`` leaves (checkpoint layout
-    identical to the reference's Conv1d gates).
-    """
-
-    hidden_dim: int = 128
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        hd = self.hidden_dim
-        in_dim = h.shape[-1] + x.shape[-1]
-        kz = self.param("convz", _dense_init, (in_dim, hd))
-        kr = self.param("convr", _dense_init, (in_dim, hd))
-        kq = self.param("convq", _dense_init, (in_dim, hd))
-
-        hx = jnp.concatenate([h, x], axis=-1).astype(self.dtype)
-        w_zr = jnp.concatenate([kz["kernel"], kr["kernel"]], axis=-1)
-        b_zr = jnp.concatenate([kz["bias"], kr["bias"]])
-        zr = nn.sigmoid(hx @ w_zr.astype(self.dtype) + b_zr.astype(self.dtype))
-        z, r = zr[..., :hd], zr[..., hd:]
-        rh_x = jnp.concatenate([r * h, x], axis=-1)
-        q = nn.tanh(rh_x @ kq["kernel"].astype(self.dtype)
-                    + kq["bias"].astype(self.dtype))
-        return (1 - z) * h + z * q
-
-
 def _dense_init(key, shape):
     """Dense-compatible param leaf: {'kernel', 'bias'} (same tree layout as
     nn.Dense so the torch converter keys are unchanged)."""
@@ -126,6 +94,43 @@ def _dense_init(key, shape):
         "kernel": nn.initializers.lecun_normal()(kkey, (kin, kout)),
         "bias": jnp.zeros((kout,), jnp.float32),
     }
+
+
+class ConvGRU(nn.Module):
+    """GRU cell with per-point (1x1-conv ≡ Dense) gates (decoder.py:123-139).
+
+    The z and r gates share the same input, so their weights are concatenated
+    into ONE [in, 2H] matmul — the op is bandwidth-bound on the ~524k-point
+    buffers.  Parameters stay as separate ``convz``/``convr``/``convq``
+    leaves (checkpoint layout identical to the reference's Conv1d gates);
+    :meth:`merged_weights` exposes the fused layout for the Pallas kernel.
+    """
+
+    hidden_dim: int = 128
+    input_dim: int = 64
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        in_dim = self.hidden_dim + self.input_dim
+        self.convz = self.param("convz", _dense_init, (in_dim, self.hidden_dim))
+        self.convr = self.param("convr", _dense_init, (in_dim, self.hidden_dim))
+        self.convq = self.param("convq", _dense_init, (in_dim, self.hidden_dim))
+
+    def merged_weights(self):
+        w_zr = jnp.concatenate(
+            [self.convz["kernel"], self.convr["kernel"]], axis=-1)
+        b_zr = jnp.concatenate([self.convz["bias"], self.convr["bias"]])
+        return w_zr, b_zr, self.convq["kernel"], self.convq["bias"]
+
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        hd = self.hidden_dim
+        w_zr, b_zr, w_q, b_q = self.merged_weights()
+        hx = jnp.concatenate([h, x], axis=-1).astype(self.dtype)
+        zr = nn.sigmoid(hx @ w_zr.astype(self.dtype) + b_zr.astype(self.dtype))
+        z, r = zr[..., :hd], zr[..., hd:]
+        rh_x = jnp.concatenate([r * h, x], axis=-1)
+        q = nn.tanh(rh_x @ w_q.astype(self.dtype) + b_q.astype(self.dtype))
+        return (1 - z) * h + z * q
 
 
 class ConvGRUDecoder(nn.Module):
@@ -148,10 +153,26 @@ class ConvGRUDecoder(nn.Module):
         voxel_feats = gather_voxel_features(before_img, after_img, info, plan)  # [B,N,2c]
         offset_feats = nn.Dense(c, dtype=self.dtype, name="offset_encoder")(info.offsets)
 
-        gru = ConvGRU(hidden_dim=2 * c, dtype=self.dtype, name="gru")
-        h = voxel_feats
-        for _ in range(self.num_iters):  # static unroll; num_iters ≤ 16 (ablations)
-            h = gru(h, offset_feats)
+        gru = ConvGRU(hidden_dim=2 * c, input_dim=c, dtype=self.dtype, name="gru")
+        from deflow_tpu.ops.voxel import _use_pallas
+
+        if self.num_iters > 0 and 2 * c == 128 and _use_pallas():
+            # fused Pallas recurrence: h stays in VMEM across all iterations
+            from deflow_tpu.ops.pallas_gru import fused_gru
+
+            b, n, hd = voxel_feats.shape
+            w_zr, b_zr, w_q, b_q = gru.merged_weights()
+            h = fused_gru(
+                voxel_feats.reshape(b * n, hd).astype(self.dtype),
+                offset_feats.reshape(b * n, c).astype(self.dtype),
+                w_zr.astype(self.dtype), b_zr.astype(self.dtype),
+                w_q.astype(self.dtype), b_q.astype(self.dtype),
+                self.num_iters,
+            ).reshape(b, n, hd)
+        else:
+            h = voxel_feats
+            for _ in range(self.num_iters):  # static unroll (ablations ≤ 16)
+                h = gru(h, offset_feats)
 
         flow = FlowMLP(hidden=c // 2, dtype=self.dtype, name="decoder")(
             jnp.concatenate([h, offset_feats], axis=-1)

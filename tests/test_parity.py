@@ -44,7 +44,7 @@ def _build_pair(seed=0, n=4096, decoder="gru"):
     randomize_(tm, seed)
 
     jm = DeFlow(voxel_size=VOXEL, point_cloud_range=RANGE, grid_feature_size=GRID,
-                decoder_option={"gru": "gru", "linear": "linear"}[decoder])
+                decoder_option=decoder)
     pc0 = _random_cloud(rng, n)
     pc1 = _random_cloud(rng, n)
     pose0, pose1 = _random_pose(rng), _random_pose(rng)
@@ -136,3 +136,40 @@ def test_roundtrip_export_import():
     missing, unexpected = tm.load_state_dict(sd, strict=False)
     assert not unexpected, f"unexpected keys: {unexpected[:5]}"
     assert not missing, f"missing keys: {missing[:5]}"
+
+
+def test_forward_parity_mmhead():
+    """Transformer ablation head: chunk membership must match, so the cloud is
+    fully in-range with a point count that is a multiple of the 512 chunk."""
+    rng = np.random.default_rng(9)
+    n = 2048
+    pc0 = rng.uniform(-49, 49, size=(n, 3)).astype(np.float32)
+    pc0[:, 2] = rng.uniform(-2.5, 2.5, size=n)
+    pc1 = rng.uniform(-49, 49, size=(n, 3)).astype(np.float32)
+    pc1[:, 2] = rng.uniform(-2.5, 2.5, size=n)
+    pose = np.eye(4, dtype=np.float32)
+
+    tm = TorchDeFlow(decoder_option="mmhead", voxel_size=VOXEL,
+                     point_cloud_range=RANGE)
+    randomize_(tm, 9)
+    jm = DeFlow(voxel_size=VOXEL, point_cloud_range=RANGE,
+                grid_feature_size=GRID, decoder_option="mmhead")
+    variables = jm.init(jax.random.key(0), jnp.asarray(pc0[None]),
+                        jnp.asarray(pc1[None]), jnp.asarray(pose[None]),
+                        jnp.asarray(pose[None]), jnp.ones((1, n), bool),
+                        jnp.ones((1, n), bool))
+    params, stats = convert_state_dict(tm.state_dict())
+    variables = merge_into_variables(variables,
+                                     {"params": params, "batch_stats": stats})
+
+    t_out = tm(torch.from_numpy(pc0), torch.from_numpy(pc1),
+               torch.from_numpy(pose), torch.from_numpy(pose))
+    j_out = jm.apply(variables, jnp.asarray(pc0[None]), jnp.asarray(pc1[None]),
+                     jnp.asarray(pose[None]), jnp.asarray(pose[None]),
+                     jnp.ones((1, n), bool), jnp.ones((1, n), bool))
+    valid = np.asarray(j_out["pc0_valid"][0])
+    assert valid.all(), "test requires fully in-range cloud"
+    j_flow = np.asarray(j_out["flow"][0])
+    t_flow = t_out["flow"].numpy()
+    err = np.abs(j_flow - t_flow)
+    assert err.max() < 1e-3, f"max |Δflow| = {err.max()}"

@@ -123,6 +123,28 @@ class _LinearHead(nn.Module):
         return self.decoder(torch.cat([voxel_feat_n128, off], dim=1))
 
 
+class _MMHead(nn.Module):
+    """Transformer ablation head twin (reference decoder.py:6-70 semantics:
+    4-layer post-norm TransformerDecoder over 512-point chunks)."""
+
+    def __init__(self, c=64):
+        super().__init__()
+        self.offset_encoder = nn.Linear(3, 128)
+        layer = nn.TransformerDecoderLayer(d_model=128, nhead=4)
+        self.pts_off_transformer = nn.TransformerDecoder(layer, num_layers=4)
+        self.decoder = nn.Sequential(nn.Linear(2 * c, 32), nn.GELU(),
+                                     nn.Linear(32, 3))
+
+    def forward(self, voxel_feat_n128, offsets_n3, chunk=512):
+        tgt = voxel_feat_n128.unsqueeze(1)            # [N, 1, 128]
+        mem = self.offset_encoder(offsets_n3).unsqueeze(1)
+        out = torch.zeros_like(tgt)
+        for s in range(0, tgt.shape[0], chunk):
+            out[s:s + chunk] = self.pts_off_transformer(
+                tgt[s:s + chunk], mem[s:s + chunk])
+        return self.decoder(out.squeeze(1))
+
+
 class _FeatureNet(nn.Module):
     """mmdet3d DynamicPillarFeatureNet key layout: pfn_layers.0 = Sequential."""
 
@@ -159,7 +181,9 @@ class TorchDeFlow(nn.Module):
         )
         self.embedder = _Embedder(32)
         self.backbone = _UNet()
-        self.head = _GRUHead(64, num_iters) if decoder_option == "gru" else _LinearHead(64)
+        self.head = {"gru": lambda: _GRUHead(64, num_iters),
+                     "linear": lambda: _LinearHead(64),
+                     "mmhead": lambda: _MMHead(64)}[decoder_option]()
 
     # -- voxel pipeline (reference DynamicEmbedder semantics) -------------------
     def _voxelize(self, pts):

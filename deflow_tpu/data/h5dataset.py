@@ -97,12 +97,23 @@ class HDF5Dataset:
         remove_ground: bool = True,
         with_labels: bool = True,
         limit: int = 0,
+        num_frames: int = 2,
     ):
         self.data_dir = data_dir
         self.max_points = max_points
         self.remove_ground = remove_ground
         self.with_labels = with_labels
+        self.num_frames = num_frames
         self.index = build_index(data_dir)
+        if num_frames > 2:
+            # multi-frame samples (SeFlow-style history): keep only pairs
+            # with num_frames-2 preceding frames in the same scene
+            need = num_frames - 2
+            by_scene: Dict[str, list] = {}
+            for fp in self.index:
+                by_scene.setdefault(fp.scene_path, []).append(fp)
+            self.index = [fp for lst in by_scene.values()
+                          for fp in lst[need:]]
         if limit:
             self.index = self.index[:limit]
         self._files: Dict[str, h5py.File] = {}
@@ -162,6 +173,18 @@ class HDF5Dataset:
             _, _, _, _, em_p, _ = native.select_pad(
                 fr0["lidar"], ground(fr0), n, valid=em0)
             sample["eval_mask"] = em_p & m0
+        # history frames (num_frames > 2, SeFlow-style): pch1 is the frame
+        # before pc0, pch2 before that, ... with their poses
+        if self.num_frames > 2:
+            keys = sorted(f.keys(), key=lambda k: int(k))
+            pos = keys.index(idx.timestamp0)
+            for hist in range(1, self.num_frames - 1):
+                frh = _read_frame(f[keys[pos - hist]])
+                pch, mh, *_ = native.select_pad(frh["lidar"], ground(frh), n)
+                sample[f"pch{hist}"] = pch
+                sample[f"pch{hist}_mask"] = mh
+                sample[f"pose_pch{hist}"] = frh["pose"]
+
         # SeFlow DUFO dynamic labels (process.py) for SSL training
         for tag, fr in (("dufo_label0", fr0), ("dufo_label1", fr1)):
             if "dufo_label" in fr:
@@ -181,6 +204,7 @@ _STACK_KEYS = (
     "pc0", "pc1", "pc0_mask", "pc1_mask", "pose0", "pose1", "ego_motion",
     "flow", "flow_is_valid", "flow_category_indices", "eval_mask",
     "dufo_label0", "dufo_label1",
+    "pch1", "pch1_mask", "pose_pch1", "pch2", "pch2_mask", "pose_pch2",
 )
 
 

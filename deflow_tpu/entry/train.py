@@ -38,6 +38,7 @@ def main(cfg: Optional[Config] = None) -> dict:
         str(cfg.train_data), max_points=int(cfg.max_points),
         remove_ground=bool(cfg.remove_ground),
         limit=int(cfg.get("overfit", 0)),
+        num_frames=int(cfg.get("num_frames", 2)),
     )
     val_dir = str(cfg.val_data)
     val_ds = (

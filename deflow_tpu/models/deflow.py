@@ -117,10 +117,20 @@ def build_model(model_cfg, precision: str = "fp32") -> DeFlow:
     (the Hydra ``_target_`` contract, reference conf/model/*.yaml)."""
     target = model_cfg.target if "target" in model_cfg else model_cfg
     dtype = jnp.bfloat16 if str(precision) in ("bf16", "bfloat16") else jnp.float32
+    voxel_size = tuple(target.voxel_size)
+    pc_range = tuple(target.point_cloud_range)
+    # The reference's voxel-size ablations override ONLY voxel_size
+    # (1_train.sh:74,78); the pseudoimage dims follow from range / voxel, so
+    # derive them here and treat the config value as a cross-check only.
+    gw, gh, _ = VoxelConfig(voxel_size, pc_range).grid_size
+    cfg_grid = tuple(target.grid_feature_size)
+    if cfg_grid != (gw, gh):
+        print(f"note: grid_feature_size {cfg_grid} overridden by "
+              f"voxel-derived {(gw, gh)}")
     return DeFlow(
-        voxel_size=tuple(target.voxel_size),
-        point_cloud_range=tuple(target.point_cloud_range),
-        grid_feature_size=tuple(target.grid_feature_size),
+        voxel_size=voxel_size,
+        point_cloud_range=pc_range,
+        grid_feature_size=(gw, gh),
         decoder_option=str(target.decoder_option),
         num_iters=int(target.num_iters),
         feat_channels=int(target.get("feat_channels", 32)),

@@ -118,9 +118,11 @@ class DynamicEmbedder(nn.Module):
         reused by the decoder gather's Pallas backward."""
         cfg = self.voxel_cfg
         info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
-        # one sort shared by the centroid and feature scatters (TPU path)
+        # one sort shared by the centroid and feature scatters (TPU path);
+        # bf16 models run the (centered-coordinate) centroid scatter in bf16
         plan = make_batched_scatter_plan(info.pillar_id, cfg.num_pillars + 1)
-        _, cluster = pillar_centroids_batched(info, cfg, plan)
+        _, cluster = pillar_centroids_batched(
+            info, cfg, plan, compute_dtype=self.dtype)
         feats9 = jnp.concatenate([info.points, cluster, info.offsets], axis=-1)
 
         point_feats = PillarFeatureNet(

@@ -238,19 +238,28 @@ def _row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def pillar_centroids_batched(
-    info: PillarInfo, cfg: VoxelConfig, plan=None
+    info: PillarInfo, cfg: VoxelConfig, plan=None, compute_dtype=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched ``pillar_centroids`` ([B, N, ...] PillarInfo) via one flat
-    segment pass — no vmap around the scatter."""
-    dtype = info.points.dtype
+    segment pass — no vmap around the scatter.
+
+    Works in pillar-CENTERED coordinates: ``cluster = p − centroid =
+    offsets − mean(offsets)`` exactly, and offsets are bounded by half a
+    voxel, so in bf16 compute mode the scatter runs natively in bf16
+    (sub-mm absolute error) instead of the 6-pass f32 path."""
+    dtype = compute_dtype or info.points.dtype
+    off = info.offsets.astype(dtype)
     ones = info.valid.astype(dtype)
-    data = jnp.concatenate([info.points, ones[..., None]], axis=-1)  # [B,N,4]
+    data = jnp.concatenate([off, ones[..., None]], axis=-1)  # [B,N,4]
     sums = segment_sum_batched(data, info.pillar_id, cfg.num_pillars + 1, plan)
-    counts = sums[..., 3]
-    centroid = sums[..., :3] / jnp.maximum(counts, 1.0)[..., None]
+    counts = sums[..., 3].astype(jnp.float32)
+    mean_off = (sums[..., :3].astype(jnp.float32)
+                / jnp.maximum(counts, 1.0)[..., None])
     per_point = _row_gather(
-        jnp.concatenate([centroid, counts[..., None]], axis=-1), info.pillar_id)
-    cluster = jnp.where(info.valid[..., None], info.points - per_point[..., :3], 0.0)
+        jnp.concatenate([mean_off, counts[..., None]], axis=-1), info.pillar_id)
+    cluster = jnp.where(
+        info.valid[..., None],
+        info.offsets.astype(jnp.float32) - per_point[..., :3], 0.0)
     return per_point[..., 3], cluster
 
 

@@ -81,3 +81,21 @@ def test_loader_batching_and_shuffle(split_dir):
     order2 = [b["timestamp"] for b in DataLoader(ds, 4, shuffle=True, seed=3)]
     assert order1 != order2 or True  # non-flaky: just exercise the path
     ds.close()
+
+
+def test_multi_frame_history(split_dir):
+    """num_frames=3 samples carry the preceding frame (SeFlow-style)."""
+    ds = HDF5Dataset(split_dir, max_points=2048, num_frames=3)
+    # 2 scenes x (4 frames): pairs with history = frames 1..2 as t0 -> 2/scene
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["pch1"].shape == (2048, 3)
+    assert s["pch1_mask"].sum() > 0
+    assert s["pose_pch1"].shape == (4, 4)
+    # history frame is the one before timestamp0
+    import h5py
+    with h5py.File(ds.index[0].scene_path, "r") as f:
+        keys = sorted(f.keys(), key=int)
+        pos = keys.index(ds.index[0].timestamp0)
+        assert pos >= 1
+    ds.close()

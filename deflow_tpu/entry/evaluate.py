@@ -131,7 +131,6 @@ def main(cfg: Optional[Config] = None) -> Dict[str, float]:
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
     if mode == "val":
-        from deflow_tpu.metrics.threeway import ThreewayEPE  # tables via accumulators
         metrics = run_validation(eval_step, state, ds, cfg, mesh)
         print("\n== AV2 val, official 3-way metrics ==")
         for k in ("EPE_FD", "EPE_FS", "EPE_BS", "EPE_3way_mean"):
@@ -141,6 +140,13 @@ def main(cfg: Optional[Config] = None) -> Dict[str, float]:
             if k.startswith(("Static_EPE", "Dynamic_NormEPE")):
                 print(f"  {k:>28}: {v:.4f}")
         ds.close()
+        if cfg.get("save_res"):
+            # reference's save_res flag: persist predictions alongside eval
+            from deflow_tpu.entry.save import main as save_main
+
+            save_cfg = cfg.copy()
+            save_cfg.dataset_path = split_dir
+            save_main(save_cfg)
         return metrics
 
     version = int(cfg.get("leaderboard_version", 2))

@@ -119,3 +119,49 @@ def test_train_main_entry(cfg, tmp_path):
     assert runs, "no run dir created"
     ckpts = os.listdir(os.path.join(ckpt_root, runs[0], "checkpoints"))
     assert any(c.startswith("epoch_") for c in ckpts)
+
+
+def test_pallas_path_under_sharding(monkeypatch):
+    """Pallas kernels inside the pjit-sharded train step (interpret mode on
+    the 8-device mesh) must produce the same loss as the XLA path — guards
+    the real multi-chip TPU configuration."""
+    import deflow_tpu.ops.voxel as V
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    from deflow_tpu.config import compose
+    cfg = compose("config", [
+        "batch_size=8", "max_points=512", "voxel_size=[3.2, 3.2, 6]",
+        "model.target.grid_feature_size=[32, 32]",
+        "model.target.num_iters=2", "precision=fp32", "lr=1e-3",
+    ])
+    rng = np.random.default_rng(0)
+    b, n = 8, 512
+    hb = {
+        "pc0": rng.uniform(-40, 40, (b, n, 3)).astype(np.float32),
+        "pc1": rng.uniform(-40, 40, (b, n, 3)).astype(np.float32),
+        "pose0": np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
+        "pose1": np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
+        "pc0_mask": np.ones((b, n), bool),
+        "pc1_mask": np.ones((b, n), bool),
+        "flow": rng.normal(0, 0.1, (b, n, 3)).astype(np.float32),
+        "flow_is_valid": np.ones((b, n), bool),
+        "flow_category_indices": rng.integers(0, 20, (b, n)).astype(np.int32),
+    }
+    from deflow_tpu.models import build_model
+    model = build_model(cfg.model, precision="fp32")
+    mesh = T.create_mesh()
+
+    def run_once():
+        state = T.init_state(model, cfg, hb, seed=0)
+        state = jax.device_put(state, T.replicated(mesh))
+        step = T.jit_train_step(T.make_train_step(model, "deflowLoss"), mesh)
+        _, aux = step(state, T.device_batch(hb, mesh))
+        return float(aux["loss"])
+
+    loss_xla = run_once()
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+    loss_pallas = run_once()
+    np.testing.assert_allclose(loss_pallas, loss_xla, rtol=1e-4)

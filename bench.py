@@ -36,13 +36,19 @@ def make_batch(batch: int, n: int, valid: int, seed: int = 0):
     pose0 = np.tile(np.eye(4, dtype=np.float32), (batch, 1, 1))
     pose1 = pose0.copy()
     pose1[:, 0, 3] = 1.3
-    return {
+    hb = {
         "pc0": pc(), "pc1": pc(), "pose0": pose0, "pose1": pose1,
         "pc0_mask": mask, "pc1_mask": mask.copy(),
         "flow": rng.normal(0, 0.2, (batch, n, 3)).astype(np.float32),
         "flow_is_valid": mask.copy(),
         "flow_category_indices": rng.integers(0, 30, (batch, n)).astype(np.int32),
     }
+    # production data path: ragged bookkeeping (bin + sort + inverse perm)
+    # happens on the host (C++), the device consumes ids/permutations
+    from deflow_tpu.data.host_prep import attach_host_prep
+
+    return attach_host_prep(hb, [0.2, 0.2, 6.0],
+                            [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0])
 
 
 def main():

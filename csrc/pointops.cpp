@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 extern "C" {
 
@@ -101,6 +102,48 @@ void bin_points(const float* pts, int64_t n,
         }
         out_valid[i] = ok;
     }
+}
+
+// Stable counting sort of pillar ids (ids in [0, num_buckets]); emits the
+// ascending-id permutation `order` AND its inverse `iperm` in one pass —
+// the device-side blocker for sorted compute is exactly the inverse
+// permutation (argsort costs a full sort on TPU; here it is free).
+void sort_by_id(const int32_t* ids, int64_t n, int64_t num_buckets,
+                int32_t* order, int32_t* iperm, int32_t* sorted_ids) {
+    std::vector<int64_t> counts(num_buckets + 2, 0);
+    for (int64_t i = 0; i < n; ++i) counts[ids[i] + 1]++;
+    for (int64_t b = 1; b < (int64_t)counts.size(); ++b)
+        counts[b] += counts[b - 1];
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t pos = counts[ids[i]]++;
+        order[pos] = (int32_t)i;
+        iperm[i] = (int32_t)pos;
+        sorted_ids[pos] = ids[i];
+    }
+}
+
+// Fused host-side pillar prep for one padded cloud: bin (f32, matching the
+// device semantics bit-for-bit is NOT required — these ids ARE the source of
+// truth, the device consumes them), route invalid/padding to the trash id,
+// then stable-sort.  pts [n,3] (padded slots arbitrary), mask [n].
+void pillar_prep(const float* pts, const uint8_t* mask, int64_t n,
+                 const float* vmin, const float* vsize, const int32_t* grid,
+                 int32_t* pillar_id, int32_t* order, int32_t* iperm,
+                 int32_t* sorted_ids) {
+    const int64_t trash = (int64_t)grid[0] * grid[1];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t c[3] = {0, 0, 0};
+        uint8_t ok = mask[i];
+        for (int a = 0; a < 3; ++a) {
+            const float v = std::floor((pts[i * 3 + a] - vmin[a]) / vsize[a]);
+            // range-check BEFORE the int cast (huge/NaN floats -> UB cast)
+            if (!(v >= 0.0f) || !(v < (float)grid[a])) { ok = 0; break; }
+            c[a] = (int32_t)v;
+        }
+        pillar_id[i] = ok ? c[1] * grid[0] + c[0] : (int32_t)trash;
+    }
+    sort_by_id(pillar_id, n, trash, order, iperm, sorted_ids);
 }
 
 }  // extern "C"

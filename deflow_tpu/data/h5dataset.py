@@ -230,13 +230,15 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: Optional[bool] = None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, post_collate=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = shuffle if drop_last is None else drop_last
         self.prefetch = prefetch
+        self.post_collate = post_collate  # e.g. host_prep.attach (runs in the
+                                          # prefetch thread, off the step path)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -254,7 +256,10 @@ class DataLoader:
                 sel = order[start:start + self.batch_size]
                 if self.drop_last and len(sel) < self.batch_size:
                     return
-                yield collate([self.dataset[int(i)] for i in sel])
+                batch = collate([self.dataset[int(i)] for i in sel])
+                if self.post_collate is not None:
+                    batch = self.post_collate(batch)
+                yield batch
 
         if self.prefetch <= 0:
             yield from gen()

@@ -46,8 +46,11 @@ def main(cfg: Optional[Config] = None) -> dict:
                     remove_ground=bool(cfg.remove_ground))
         if os.path.isdir(val_dir) else None
     )
+    from deflow_tpu.data.host_prep import attach_host_prep
+    post = (lambda b: attach_host_prep(
+        b, list(cfg.voxel_size), list(cfg.point_cloud_range)))
     train_loader = DataLoader(train_ds, batch_size, shuffle=True,
-                              seed=int(cfg.seed))
+                              seed=int(cfg.seed), post_collate=post)
 
     model = build_model(cfg.model, precision=str(cfg.get("precision", "bf16")))
     sample = next(iter(DataLoader(train_ds, batch_size, shuffle=False)))

@@ -83,20 +83,36 @@ class DeFlow(nn.Module):
         pc1_mask: jnp.ndarray,
         ego_motion: Optional[jnp.ndarray] = None,
         train: bool = False,
+        host_prep: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, jnp.ndarray]:
         # Ego-motion compensation in f32 regardless of compute dtype: poses
         # carry ~1e3-scale translations where bf16 would cost millimeters.
-        if ego_motion is None:
-            pose_0to1 = cal_pose0to1(pose0.astype(jnp.float32), pose1.astype(jnp.float32))
+        # When the host loader pre-transformed pc0 (host_prep), use its points
+        # so the host-computed pillar ids are authoritative.
+        if host_prep is not None and "pc0_transformed" in host_prep:
+            transform_pc0 = host_prep["pc0_transformed"].astype(jnp.float32)
         else:
-            pose_0to1 = ego_motion.astype(jnp.float32)
-        transform_pc0 = transform_points(pc0.astype(jnp.float32), pose_0to1)
+            if ego_motion is None:
+                pose_0to1 = cal_pose0to1(pose0.astype(jnp.float32),
+                                         pose1.astype(jnp.float32))
+            else:
+                pose_0to1 = ego_motion.astype(jnp.float32)
+            transform_pc0 = transform_points(pc0.astype(jnp.float32), pose_0to1)
         pose_flow = jnp.where(
             pc0_mask[..., None], transform_pc0 - pc0.astype(jnp.float32), 0.0
         )
 
-        img0, info0, plan0 = self.embedder(transform_pc0, pc0_mask, train)
-        img1, info1, _ = self.embedder(pc1.astype(jnp.float32), pc1_mask, train)
+        def host_for(tag):
+            if host_prep is None or f"{tag}_ids" not in host_prep:
+                return None
+            return {"ids": host_prep[f"{tag}_ids"],
+                    "order": host_prep[f"{tag}_order"],
+                    "sorted_id": host_prep[f"{tag}_sorted"]}
+
+        img0, info0, plan0 = self.embedder(
+            transform_pc0, pc0_mask, train, host=host_for("pc0"))
+        img1, info1, _ = self.embedder(
+            pc1.astype(jnp.float32), pc1_mask, train, host=host_for("pc1"))
 
         grid_flow_img = self.backbone(img0, img1, train)
         before_img = jnp.concatenate([img0, img1], axis=-1)

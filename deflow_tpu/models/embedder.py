@@ -34,7 +34,9 @@ from deflow_tpu.ops.voxel import (
     VoxelConfig,
     compute_pillar_info,
     make_batched_scatter_plan,
+    make_host_scatter_plan,
     pillar_centroids_batched,
+    pillar_info_from_ids,
     pillar_max_scatter,
     pillar_mean_scatter_batched,
 )
@@ -112,15 +114,29 @@ class DynamicEmbedder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, points: jnp.ndarray, mask: jnp.ndarray, train: bool = False
+        self, points: jnp.ndarray, mask: jnp.ndarray, train: bool = False,
+        host: "dict | None" = None,
     ):
         """Returns (pseudoimage, PillarInfo, ScatterPlan-or-None); the plan is
-        reused by the decoder gather's Pallas backward."""
+        reused by the decoder gather's Pallas backward.
+
+        ``host`` optionally carries host-computed ragged bookkeeping
+        ({'ids', 'order', 'sorted_id'}, each [B, N] int32 from
+        utils/native.pillar_prep): pillar ids become the source of truth and
+        the device spends zero time on binning validity or argsorts."""
         cfg = self.voxel_cfg
-        info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
-        # one sort shared by the centroid and feature scatters (TPU path);
-        # bf16 models run the (centered-coordinate) centroid scatter in bf16
-        plan = make_batched_scatter_plan(info.pillar_id, cfg.num_pillars + 1)
+        if host is not None:
+            info = jax.vmap(
+                lambda p, m, i: pillar_info_from_ids(p, m, i, cfg)
+            )(points, mask, host["ids"])
+            plan = make_host_scatter_plan(
+                host["order"], host["sorted_id"], info.pillar_id,
+                cfg.num_pillars + 1)
+        else:
+            info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
+            # one sort shared by the centroid and feature scatters (TPU path);
+            # bf16 models run the (centered-coordinate) centroid scatter in bf16
+            plan = make_batched_scatter_plan(info.pillar_id, cfg.num_pillars + 1)
         _, cluster = pillar_centroids_batched(
             info, cfg, plan, compute_dtype=self.dtype)
         feats9 = jnp.concatenate([info.points, cluster, info.offsets], axis=-1)

@@ -119,6 +119,62 @@ def compute_pillar_info(
     return PillarInfo(pillar_id, in_range, coords_yx, offsets, clean_points)
 
 
+def pillar_info_from_ids(
+    points: jnp.ndarray, mask: jnp.ndarray, ids: jnp.ndarray, cfg: VoxelConfig
+) -> PillarInfo:
+    """Rebuild PillarInfo from HOST-computed pillar ids (utils/native.py
+    pillar_prep) — the ids are the single source of truth, so no device
+    binning (and no host/device float-division agreement requirement).
+
+    The z-bin used only for the continuous center-offset feature is recomputed
+    from z on device (pillar ids are z-free; any last-ulp discrepancy moves a
+    feature by ≤ one voxel of center, never a pillar assignment).
+    """
+    w, h, d = cfg.grid_size
+    vsz = jnp.asarray(cfg.voxel_size, dtype=points.dtype)
+    lo = jnp.asarray(cfg.point_cloud_range[:3], dtype=points.dtype)
+
+    valid = mask & (ids < cfg.num_pillars)
+    safe_ids = jnp.where(valid, ids, 0)
+    cy = safe_ids // w
+    cx = safe_ids % w
+    safe_points = jnp.where(valid[:, None], points, 0.0)
+    cz = jnp.clip(
+        jnp.floor((safe_points[:, 2] - lo[2])
+                  / jax.lax.optimization_barrier(vsz[2])).astype(jnp.int32),
+        0, d - 1)
+    center = (jnp.stack([cx, cy, cz], axis=-1).astype(points.dtype) + 0.5) * vsz + lo
+    offsets = jnp.where(valid[:, None], safe_points - center, 0.0)
+    coords_yx = jnp.where(
+        valid[:, None], jnp.stack([cy, cx], axis=-1), 0).astype(jnp.int32)
+    pillar_id = jnp.where(valid, ids, cfg.num_pillars).astype(jnp.int32)
+    return PillarInfo(pillar_id, valid, coords_yx, offsets, safe_points)
+
+
+def make_host_scatter_plan(order: jnp.ndarray, sorted_id: jnp.ndarray,
+                           pillar_id: jnp.ndarray, num_segments: int):
+    """Build a ScatterPlan from HOST-computed per-sample sort state
+    ([B, N] arrays from utils/native.pillar_prep) — no device argsort.
+
+    Per-sample sorts concatenate into the flat block-offset sort because the
+    flat ids ``pid + b*num_segments`` are block-ordered by construction."""
+    if not _use_pallas():
+        return None
+    from deflow_tpu.ops.pallas_scatter import CHUNK, TILE_P, ScatterPlan, _round_up
+
+    b, n = order.shape
+    boff_n = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    boff_s = (jnp.arange(b, dtype=jnp.int32) * num_segments)[:, None]
+    flat_order = (order + boff_n).reshape(b * n)
+    flat_sorted = (sorted_id + boff_s).reshape(b * n)
+    flat_pid = (pillar_id + boff_s).reshape(b * n)
+    n_pad = _round_up(b * n, CHUNK)
+    sentinel = _round_up(b * num_segments, TILE_P) + 1
+    flat_sorted = jnp.pad(flat_sorted, (0, n_pad - b * n),
+                          constant_values=sentinel)
+    return ScatterPlan(flat_pid, flat_order, flat_sorted.astype(jnp.int32))
+
+
 def _use_pallas() -> bool:
     """Pallas scatter on TPU unless DEFLOW_PALLAS=0 (XLA fallback elsewhere)."""
     import os

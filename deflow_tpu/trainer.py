@@ -82,7 +82,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 _BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
                "ego_motion", "flow", "flow_is_valid", "flow_category_indices",
-               "dufo_label0", "dufo_label1")
+               "dufo_label0", "dufo_label1",
+               # host-side ragged bookkeeping (data/host_prep.py)
+               "pc0_transformed",
+               "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
+               "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted")
 
 
 def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str, jnp.ndarray]:
@@ -121,11 +125,13 @@ def make_train_step(model, loss_name: str, remat: bool = False) -> Callable:
     is_ssl = loss_name in SSL_LOSS_REGISTRY
     loss_fn = SSL_LOSS_REGISTRY[loss_name] if is_ssl else get_loss(loss_name)
 
-    def forward(params, batch_stats, pc0, pc1, pose0, pose1, m0, m1, ego):
+    def forward(params, batch_stats, pc0, pc1, pose0, pose1, m0, m1, ego,
+                host_prep=None):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             pc0, pc1, pose0, pose1, m0, m1,
             ego_motion=ego, train=True, mutable=["batch_stats"],
+            host_prep=host_prep,
         )
 
     if remat:
@@ -134,12 +140,14 @@ def make_train_step(model, loss_name: str, remat: bool = False) -> Callable:
         forward = jax.checkpoint(forward)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        from deflow_tpu.data.host_prep import host_prep_from_batch
+
         def compute_loss(params):
             out, mutated = forward(
                 params, state.batch_stats,
                 batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
                 batch["pc0_mask"], batch["pc1_mask"],
-                batch.get("ego_motion"),
+                batch.get("ego_motion"), host_prep_from_batch(batch),
             )
             if is_ssl:
                 # self-supervised (SeFlow family): geometry + DUFO labels,
@@ -176,12 +184,14 @@ def make_train_step(model, loss_name: str, remat: bool = False) -> Callable:
 
 def make_eval_step(model) -> Callable:
     def eval_step(params, batch_stats, batch):
+        from deflow_tpu.data.host_prep import host_prep_from_batch
+
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
             batch["pc0_mask"], batch["pc1_mask"],
             ego_motion=batch.get("ego_motion"),
-            train=False,
+            train=False, host_prep=host_prep_from_batch(batch),
         )
         # Final predicted flow: network flow at voxel-valid points plus the
         # rigid ego flow everywhere (invalid points carry pose_flow only —

@@ -50,6 +50,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.se3_transform.argtypes = [f32p, f64p, i64, f32p]
     lib.bin_points.restype = None
     lib.bin_points.argtypes = [f32p, i64, f32p, f32p, i32p, i32p, u8p]
+    lib.pillar_prep.restype = None
+    lib.pillar_prep.argtypes = [f32p, u8p, i64, f32p, f32p, i32p,
+                                i32p, i32p, i32p, i32p]
     _LIB = lib
     return lib
 
@@ -144,3 +147,43 @@ def bin_points(pts: np.ndarray, vmin, vsize, grid) -> Tuple[np.ndarray, np.ndarr
         _ptr(np.ascontiguousarray(grid, np.int32), ctypes.c_int32),
         _ptr(coords, ctypes.c_int32), _ptr(ok, ctypes.c_uint8))
     return coords, ok.astype(bool)
+
+
+def pillar_prep(pts: np.ndarray, mask: np.ndarray, vmin, vsize, grid):
+    """Host-side pillar prep for one padded cloud: bin + stable sort.
+
+    Returns (pillar_id [N], order [N], iperm [N], sorted_id [N]) int32 —
+    the ragged bookkeeping the device would otherwise spend two argsorts on.
+    Invalid/padding points carry the trash id ``grid[0]*grid[1]``.
+    """
+    pts = np.ascontiguousarray(pts[:, :3], np.float32)
+    mask_c = np.ascontiguousarray(mask, np.uint8)
+    n = len(pts)
+    grid = np.ascontiguousarray(grid, np.int32)
+    trash = int(grid[0]) * int(grid[1])
+    lib = get_lib()
+    if lib is None:
+        vmin = np.asarray(vmin, np.float32)
+        vsize = np.asarray(vsize, np.float32)
+        rel = np.floor((pts - vmin) / vsize)
+        ok = mask.astype(bool) & np.isfinite(pts).all(1) & (
+            (rel >= 0) & (rel < grid)).all(1)
+        c = np.where(ok[:, None], rel, 0).astype(np.int64)
+        pid = np.where(ok, c[:, 1] * grid[0] + c[:, 0], trash).astype(np.int32)
+        order = np.argsort(pid, kind="stable").astype(np.int32)
+        iperm = np.empty_like(order)
+        iperm[order] = np.arange(n, dtype=np.int32)
+        return pid, order, iperm, pid[order]
+
+    pid = np.empty(n, np.int32)
+    order = np.empty(n, np.int32)
+    iperm = np.empty(n, np.int32)
+    sorted_id = np.empty(n, np.int32)
+    lib.pillar_prep(
+        _ptr(pts, ctypes.c_float), _ptr(mask_c, ctypes.c_uint8), n,
+        _ptr(np.ascontiguousarray(vmin, np.float32), ctypes.c_float),
+        _ptr(np.ascontiguousarray(vsize, np.float32), ctypes.c_float),
+        _ptr(grid, ctypes.c_int32),
+        _ptr(pid, ctypes.c_int32), _ptr(order, ctypes.c_int32),
+        _ptr(iperm, ctypes.c_int32), _ptr(sorted_id, ctypes.c_int32))
+    return pid, order, iperm, sorted_id

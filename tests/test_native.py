@@ -68,3 +68,52 @@ def test_bin_points_matches_voxel_semantics():
     ok_ref = ((c_ref >= 0) & (c_ref < grid)).all(axis=1)
     np.testing.assert_array_equal(ok, ok_ref)
     np.testing.assert_array_equal(coords[ok], c_ref[ok])
+
+
+def test_pillar_prep_matches_numpy():
+    rng = np.random.default_rng(3)
+    n = 4096
+    pts = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-4, 4, n)
+    mask = np.ones(n, bool); mask[-100:] = False
+    pts[-100:] = np.nan
+    vmin = [-51.2, -51.2, -3.0]; vsize = [0.2, 0.2, 6.0]; grid = [512, 512, 1]
+
+    pid, order, iperm, sid = native.pillar_prep(pts, mask, vmin, vsize, grid)
+
+    # reference binning (f32)
+    rel = np.floor((np.nan_to_num(pts) - np.asarray(vmin, np.float32))
+                   / np.asarray(vsize, np.float32))
+    ok = mask & ((rel >= 0) & (rel < np.asarray(grid))).all(1)
+    c = rel.astype(np.int64)
+    want_pid = np.where(ok, c[:, 1] * 512 + c[:, 0], 512 * 512)
+    np.testing.assert_array_equal(pid, want_pid)
+
+    # order sorts stably, iperm inverts, sorted_id consistent
+    assert (np.diff(pid[order]) >= 0).all()
+    np.testing.assert_array_equal(order[iperm], np.arange(n))
+    np.testing.assert_array_equal(iperm[order], np.arange(n))
+    np.testing.assert_array_equal(sid, pid[order])
+    # stability: equal ids keep original relative order
+    same = pid[order]
+    for b in np.unique(same[:50]):
+        idxs = order[same == b]
+        assert (np.diff(idxs) > 0).all()
+
+
+def test_pillar_prep_device_bin_agreement():
+    """Host binning and device compute_pillar_info agree on ids (CPU device;
+    both use IEEE f32 ops — the training path ships host ids to the TPU so
+    exactness there is not required, but agreement here validates semantics)."""
+    import jax.numpy as jnp
+    from deflow_tpu.ops.voxel import VoxelConfig, compute_pillar_info
+    rng = np.random.default_rng(4)
+    n = 4096
+    pts = rng.uniform(-52, 52, (n, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-3.2, 3.2, n)
+    mask = np.ones(n, bool)
+    cfg = VoxelConfig()
+    info = compute_pillar_info(jnp.asarray(pts), jnp.asarray(mask), cfg)
+    pid, *_ = native.pillar_prep(pts, mask, cfg.point_cloud_range[:3],
+                                 cfg.voxel_size, list(cfg.grid_size))
+    np.testing.assert_array_equal(pid, np.asarray(info.pillar_id))

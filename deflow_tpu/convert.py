@@ -23,8 +23,6 @@ The torch side names that differ from our flax module names:
 
 from __future__ import annotations
 
-import io
-import zipfile
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np

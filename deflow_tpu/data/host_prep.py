@@ -27,6 +27,10 @@ HOST_PREP_KEYS = (
     "pc0_transformed",
     "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
     "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted",
+    # sorted per-point record: [points | center-offsets] in ascending-id
+    # order.  Point coordinates carry no gradient, so shipping them sorted
+    # removes every device-side permute from the embedder.
+    "pc0_sorted_rec", "pc1_sorted_rec",
 )
 
 
@@ -54,6 +58,20 @@ def prep_sample(
         out[f"{tag}_order"] = order
         out[f"{tag}_iperm"] = iperm
         out[f"{tag}_sorted"] = sid
+        # sorted [points | offsets] record (offsets = p − pillar center; the
+        # z bin only shapes this continuous feature, ids are z-free)
+        valid = sid < grid[0] * grid[1]
+        pts_s = np.ascontiguousarray(pts[:, :3], np.float32)[order]
+        cx = (sid % grid[0]).astype(np.float32)
+        cy = (sid // grid[0]).astype(np.float32)
+        cz = np.clip(np.floor((pts_s[:, 2] - lo[2]) / vs[2]), 0, grid[2] - 1)
+        center = np.stack([(cx + 0.5) * vs[0] + lo[0],
+                           (cy + 0.5) * vs[1] + lo[1],
+                           (cz + 0.5) * vs[2] + lo[2]], axis=-1)
+        off_s = np.where(valid[:, None], pts_s - center, 0.0)
+        pts_s = np.where(valid[:, None], pts_s, 0.0)
+        out[f"{tag}_sorted_rec"] = np.concatenate(
+            [pts_s, off_s], axis=-1).astype(np.float32)
     return out
 
 

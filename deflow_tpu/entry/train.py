@@ -8,7 +8,6 @@ Hydra-compatible engine in deflow_tpu.config.
 from __future__ import annotations
 
 import os
-import sys
 import time
 from typing import Optional
 

@@ -32,13 +32,17 @@ from flax import linen as nn
 from deflow_tpu.ops.voxel import (
     PillarInfo,
     VoxelConfig,
+    _row_gather,
+    _use_pallas,
     compute_pillar_info,
     make_batched_scatter_plan,
     make_host_scatter_plan,
+    make_presorted_plan,
     pillar_centroids_batched,
     pillar_info_from_ids,
     pillar_max_scatter,
     pillar_mean_scatter_batched,
+    segment_sum_batched,
 )
 
 
@@ -125,6 +129,9 @@ class DynamicEmbedder(nn.Module):
         utils/native.pillar_prep): pillar ids become the source of truth and
         the device spends zero time on binning validity or argsorts."""
         cfg = self.voxel_cfg
+        pfn = PillarFeatureNet(
+            self.feat_channels, dtype=self.dtype, name="feature_net")
+
         if host is not None:
             info = jax.vmap(
                 lambda p, m, i: pillar_info_from_ids(p, m, i, cfg)
@@ -132,6 +139,15 @@ class DynamicEmbedder(nn.Module):
             plan = make_host_scatter_plan(
                 host["order"], host["sorted_id"], info.pillar_id,
                 cfg.num_pillars + 1)
+            if ("sorted_rec" in host and _use_pallas()
+                    and self.scatter_mode != "max"):
+                # Fully sorted compute: the host shipped the point record in
+                # ascending-id order, so neither scatter needs a permute and
+                # every pillar-table access has ascending indices.  Point
+                # coordinates carry no gradient, so no inverse permutation is
+                # needed anywhere.
+                image = self._sorted_image(host, cfg, pfn, train)
+                return image.astype(self.dtype), info, plan
         else:
             info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
             # one sort shared by the centroid and feature scatters (TPU path);
@@ -141,9 +157,7 @@ class DynamicEmbedder(nn.Module):
             info, cfg, plan, compute_dtype=self.dtype)
         feats9 = jnp.concatenate([info.points, cluster, info.offsets], axis=-1)
 
-        point_feats = PillarFeatureNet(
-            self.feat_channels, dtype=self.dtype, name="feature_net"
-        )(feats9, info.valid, train)
+        point_feats = pfn(feats9, info.valid, train)
 
         if self.scatter_mode == "max":
             image = jax.vmap(lambda f, i: pillar_max_scatter(f, i, cfg))(
@@ -151,3 +165,38 @@ class DynamicEmbedder(nn.Module):
         else:
             image = pillar_mean_scatter_batched(point_feats, info, cfg, plan)
         return image.astype(self.dtype), info, plan
+
+    def _sorted_image(self, host, cfg, pfn, train):
+        """Pseudoimage from the host-sorted record (zero device permutes)."""
+        b, n, _ = host["sorted_rec"].shape
+        rec = host["sorted_rec"]
+        points_s = rec[..., :3]
+        offsets_s = rec[..., 3:]
+        ids_s = host["sorted_id"]
+        valid_s = ids_s < cfg.num_pillars
+        pre = make_presorted_plan(ids_s, cfg.num_pillars + 1)
+
+        # centroids in centered coordinates (bf16-safe: |offset| ≤ voxel/2)
+        ones = valid_s.astype(self.dtype)
+        data = jnp.concatenate(
+            [offsets_s.astype(self.dtype), ones[..., None]], axis=-1)
+        sums = segment_sum_batched(data, ids_s, cfg.num_pillars + 1, pre)
+        counts = sums[..., 3].astype(jnp.float32)
+        mean_off = (sums[..., :3].astype(jnp.float32)
+                    / jnp.maximum(counts, 1.0)[..., None])
+        per_point = _row_gather(mean_off, jnp.where(valid_s, ids_s, 0))
+        cluster_s = jnp.where(
+            valid_s[..., None], offsets_s - per_point, 0.0)
+
+        feats9_s = jnp.concatenate([points_s, cluster_s, offsets_s], axis=-1)
+        point_feats_s = pfn(feats9_s, valid_s, train)
+
+        fdata = jnp.concatenate(
+            [point_feats_s, valid_s.astype(point_feats_s.dtype)[..., None]],
+            axis=-1)
+        fsums = segment_sum_batched(fdata, ids_s, cfg.num_pillars + 1, pre)
+        c = point_feats_s.shape[-1]
+        h, w = cfg.pseudoimage_hw
+        pillar_feats = (fsums[:, : cfg.num_pillars, :c]
+                        / jnp.maximum(fsums[:, : cfg.num_pillars, c:], 1.0))
+        return pillar_feats.reshape(b, h, w, c)

@@ -151,6 +151,23 @@ def pillar_info_from_ids(
     return PillarInfo(pillar_id, valid, coords_yx, offsets, safe_points)
 
 
+def make_presorted_plan(sorted_id: jnp.ndarray, num_segments: int):
+    """Plan for features that arrive ALREADY ascending-id sorted (the host
+    record path): order=None disables the device permute; pid doubles as the
+    sorted flat ids for the backward gather."""
+    if not _use_pallas():
+        return None
+    from deflow_tpu.ops.pallas_scatter import CHUNK, TILE_P, ScatterPlan, _round_up
+
+    b, n = sorted_id.shape
+    boff = (jnp.arange(b, dtype=jnp.int32) * num_segments)[:, None]
+    flat_sorted = (sorted_id + boff).reshape(b * n)
+    n_pad = _round_up(b * n, CHUNK)
+    sentinel = _round_up(b * num_segments, TILE_P) + 1
+    padded = jnp.pad(flat_sorted, (0, n_pad - b * n), constant_values=sentinel)
+    return ScatterPlan(flat_sorted, None, padded.astype(jnp.int32))
+
+
 def make_host_scatter_plan(order: jnp.ndarray, sorted_id: jnp.ndarray,
                            pillar_id: jnp.ndarray, num_segments: int):
     """Build a ScatterPlan from HOST-computed per-sample sort state

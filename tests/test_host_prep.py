@@ -110,3 +110,48 @@ def test_host_prep_pallas_plan_equivalence(monkeypatch):
                                   np.asarray(info_dev.pillar_id))
     np.testing.assert_allclose(np.asarray(img_host), np.asarray(img_dev),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sorted_record_path_matches_unsorted(monkeypatch):
+    """Fully-sorted embedder compute (host record, forced pallas interpret)
+    must reproduce the unsorted host path's pseudoimage and model flow."""
+    import deflow_tpu.ops.voxel as V
+    import deflow_tpu.models.embedder as E
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    hb = _batch(seed=5, b=2, n=512, identity_pose=True)
+    attach_host_prep(hb, list(VOXEL), [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0])
+    model = DeFlow(voxel_size=VOXEL, grid_feature_size=GRID, num_iters=2)
+    args = (jnp.asarray(hb["pc0"]), jnp.asarray(hb["pc1"]),
+            jnp.asarray(hb["pose0"]), jnp.asarray(hb["pose1"]),
+            jnp.asarray(hb["pc0_mask"]), jnp.asarray(hb["pc1_mask"]))
+    variables = model.init(jax.random.key(0), *args)
+
+    hp_full = {k: jnp.asarray(v) for k, v in host_prep_from_batch(hb).items()}
+    hp_nosort = {k: v for k, v in hp_full.items() if "sorted_rec" not in k}
+
+    out_plain = model.apply(variables, *args, host_prep=hp_nosort)
+
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+    monkeypatch.setattr(E, "_use_pallas", lambda: True)
+    out_sorted = model.apply(variables, *args, host_prep=hp_full)
+
+    np.testing.assert_array_equal(np.asarray(out_sorted["pc0_valid"]),
+                                  np.asarray(out_plain["pc0_valid"]))
+    np.testing.assert_allclose(np.asarray(out_sorted["flow"]),
+                               np.asarray(out_plain["flow"]),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients flow through the sorted path (PFN params get non-zero grads)
+    def loss(params):
+        out = model.apply({"params": params,
+                           "batch_stats": variables["batch_stats"]},
+                          *args, host_prep=hp_full)
+        return jnp.sum(out["flow"] ** 2)
+    g = jax.grad(loss)(variables["params"])
+    gl = np.abs(np.asarray(
+        g["embedder"]["feature_net"]["linear"]["kernel"])).sum()
+    assert np.isfinite(gl) and gl > 0

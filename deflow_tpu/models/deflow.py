@@ -105,9 +105,12 @@ class DeFlow(nn.Module):
         def host_for(tag):
             if host_prep is None or f"{tag}_ids" not in host_prep:
                 return None
-            return {"ids": host_prep[f"{tag}_ids"],
-                    "order": host_prep[f"{tag}_order"],
-                    "sorted_id": host_prep[f"{tag}_sorted"]}
+            d = {"ids": host_prep[f"{tag}_ids"],
+                 "order": host_prep[f"{tag}_order"],
+                 "sorted_id": host_prep[f"{tag}_sorted"]}
+            if f"{tag}_sorted_rec" in host_prep:
+                d["sorted_rec"] = host_prep[f"{tag}_sorted_rec"]
+            return d
 
         img0, info0, plan0 = self.embedder(
             transform_pc0, pc0_mask, train, host=host_for("pc0"))

@@ -245,12 +245,18 @@ def pillar_sum_scatter_pallas(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _planned_scatter(feats, plan, num_pillars):
+    in_dtype = feats.dtype
+    feats = feats if feats.dtype == jnp.bfloat16 else feats.astype(jnp.float32)
     n, c = feats.shape
     n_pad = plan.sorted_pid.shape[0]
     c_pad = _round_up(max(c, 1), LANE)
-    packed, id_lane = _pack(feats[plan.order], plan.sorted_pid, n, n_pad, c, c_pad)
+    # plan.order None => features are ALREADY ascending-id sorted (host
+    # record path) — no device permute.  (Do NOT index with None: x[None]
+    # silently expand-dims.)
+    src = feats if plan.order is None else feats[plan.order]
+    packed, id_lane = _pack(src, plan.sorted_pid, n, n_pad, c, c_pad)
     out = _sorted_scatter(packed, plan.sorted_pid, num_pillars, c_pad, id_lane)
-    return out[:, :c].astype(feats.dtype)
+    return out[:, :c].astype(in_dtype)
 
 
 def _planned_fwd(feats, plan, num_pillars):

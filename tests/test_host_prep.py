@@ -137,7 +137,15 @@ def test_sorted_record_path_matches_unsorted(monkeypatch):
 
     monkeypatch.setattr(V, "_use_pallas", lambda: True)
     monkeypatch.setattr(E, "_use_pallas", lambda: True)
+    # spy: the sorted path must actually engage (a silent fallback would make
+    # this test vacuous — it happened once)
+    calls = []
+    orig_sorted = E.DynamicEmbedder._sorted_image
+    monkeypatch.setattr(
+        E.DynamicEmbedder, "_sorted_image",
+        lambda self, *a, **k: (calls.append(1), orig_sorted(self, *a, **k))[1])
     out_sorted = model.apply(variables, *args, host_prep=hp_full)
+    assert len(calls) == 2, "sorted-record path did not engage"
 
     np.testing.assert_array_equal(np.asarray(out_sorted["pc0_valid"]),
                                   np.asarray(out_plain["pc0_valid"]))

@@ -165,3 +165,27 @@ def test_pallas_path_under_sharding(monkeypatch):
     monkeypatch.setattr(V, "_use_pallas", lambda: True)
     loss_pallas = run_once()
     np.testing.assert_allclose(loss_pallas, loss_xla, rtol=1e-4)
+
+
+def test_eval_cli_with_torch_checkpoint(cfg, tmp_path):
+    """Full circle: export our weights as a torch .ckpt, then run eval.py's
+    main() with checkpoint=<that .ckpt> — exercises the Lightning-format
+    loader path end to end (reference deflow.py:41-47 contract)."""
+    from deflow_tpu.convert import save_torch_checkpoint
+    from deflow_tpu.entry.evaluate import main as eval_main
+
+    ds = HDF5Dataset(str(cfg.train_data), max_points=int(cfg.max_points))
+    model = build_model(cfg.model, precision="fp32")
+    host_batch = next(iter(DataLoader(ds, 8)))
+    state = T.init_state(model, cfg, host_batch, seed=0)
+    ckpt_path = str(tmp_path / "exported.ckpt")
+    save_torch_checkpoint(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)}, ckpt_path)
+    ds.close()
+
+    run_cfg = cfg.copy()
+    run_cfg.checkpoint = ckpt_path
+    run_cfg.av2_mode = "val"
+    metrics = eval_main(run_cfg)
+    assert np.isfinite(metrics["EPE_3way_mean"])

@@ -98,12 +98,17 @@ class HDF5Dataset:
         with_labels: bool = True,
         limit: int = 0,
         num_frames: int = 2,
+        submission_meta: bool = False,
     ):
         self.data_dir = data_dir
         self.max_points = max_points
         self.remove_ground = remove_ground
         self.with_labels = with_labels
         self.num_frames = num_frames
+        # submission_meta: also carry the RAW (pre-ground-removal, pre-crop)
+        # per-frame arrays the leaderboard writer needs to reconstruct flow
+        # for every original sweep point (ragged; list-collated, host-only).
+        self.submission_meta = submission_meta
         self.index = build_index(data_dir)
         if num_frames > 2:
             # multi-frame samples (SeFlow-style history): keep only pairs
@@ -173,6 +178,19 @@ class HDF5Dataset:
             _, _, _, _, em_p, _ = native.select_pad(
                 fr0["lidar"], ground(fr0), n, valid=em0)
             sample["eval_mask"] = em_p & m0
+        if self.submission_meta:
+            g0 = ground(fr0)
+            sample["raw_lidar"] = fr0["lidar"]
+            sample["raw_ground_mask"] = (
+                np.zeros(n0_raw, bool) if g0 is None else g0.astype(bool))
+            sample["raw_eval_mask"] = (
+                np.ones(n0_raw, bool) if em0 is None else em0)
+            if "ego_motion" in fr0:
+                em = fr0["ego_motion"][:]
+            else:  # pose_0to1 from the two city poses (av2 convention)
+                em = np.linalg.inv(fr1["pose"].astype(np.float64)) @ fr0[
+                    "pose"].astype(np.float64)
+            sample["raw_ego_motion"] = em.astype(np.float32)
         # history frames (num_frames > 2, SeFlow-style): pch1 is the frame
         # before pc0, pch2 before that, ... with their poses
         if self.num_frames > 2:
@@ -216,7 +234,23 @@ def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
             batch[key] = np.stack([s[key] for s in samples])
     batch["scene_id"] = [s["scene_id"] for s in samples]
     batch["timestamp"] = [s["timestamp"] for s in samples]
+    for key in samples[0]:
+        if key.startswith("raw_"):  # ragged per-frame meta: list-collated,
+            batch[key] = [s[key] for s in samples]  # host-only (never shipped)
     return batch
+
+
+def pad_ragged_batch(host_batch: Dict[str, np.ndarray], n_dev: int) -> int:
+    """Pad the final ragged batch to a multiple of ``n_dev`` by repeating the
+    last row (array keys only; list-collated meta stays ragged — consumers
+    iterate the true ``bsz``).  Returns the true (pre-pad) batch size."""
+    bsz = len(host_batch["scene_id"])
+    pad = (-bsz) % n_dev
+    if pad:
+        for k, v in list(host_batch.items()):
+            if isinstance(v, np.ndarray):
+                host_batch[k] = np.concatenate([v, v[-1:].repeat(pad, 0)])
+    return bsz
 
 
 class DataLoader:

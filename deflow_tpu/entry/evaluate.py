@@ -15,6 +15,7 @@ import numpy as np
 
 from deflow_tpu.config import Config, from_cli
 from deflow_tpu.data import DataLoader, HDF5Dataset
+from deflow_tpu.data.h5dataset import pad_ragged_batch
 from deflow_tpu.metrics import BucketedEPE, ThreewayEPE
 from deflow_tpu.models import build_model
 from deflow_tpu import trainer as T
@@ -36,12 +37,12 @@ def run_validation(eval_step, state, val_ds, cfg, mesh) -> Dict[str, float]:
     three = ThreewayEPE()
     bucketed = BucketedEPE()
     for host_batch in loader:
-        bsz = len(host_batch["scene_id"])
-        pad = (-bsz) % n_dev
-        if pad:  # pad the last ragged batch with repeats; drop rows after
-            for k, v in list(host_batch.items()):
-                if isinstance(v, np.ndarray):
-                    host_batch[k] = np.concatenate([v, v[-1:].repeat(pad, 0)])
+        if "flow" not in host_batch or "flow_is_valid" not in host_batch:
+            raise ValueError(
+                "run_validation needs ground-truth flow labels (keys 'flow' "
+                "and 'flow_is_valid'); this split has none — it looks like a "
+                "test split. Use av2_mode=test to write a submission instead.")
+        bsz = pad_ragged_batch(host_batch, n_dev)
         batch = T.device_batch(host_batch, mesh)
         out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
         for b in range(bsz):
@@ -59,13 +60,47 @@ def run_validation(eval_step, state, val_ds, cfg, mesh) -> Dict[str, float]:
     return metrics
 
 
+def _frame_full_flow(host_batch, out, b):
+    """Reconstruct predicted total flow + rigid ego flow for EVERY raw sweep
+    point of frame ``b`` (original point order, pre-ground-removal, pre-crop).
+
+    The model only sees the ground-removed, max_points-cropped cloud; points
+    it never saw get the rigid ego (pose) flow — the same fallback the
+    reference applies to out-of-range points (SURVEY.md §3.2)."""
+    raw_pts = host_batch["raw_lidar"][b]
+    ego = host_batch["raw_ego_motion"][b]
+    pose_flow = _pose_flow_np(raw_pts, np.ones(len(raw_pts), bool), ego)
+    full = pose_flow.copy()
+    # dataset selection order: stable ground filter, then crop — reproducible
+    kept = np.flatnonzero(~host_batch["raw_ground_mask"][b])
+    kept = kept[: int(host_batch["pc0_mask"][b].sum())]
+    full[kept] = out["pred_flow"][b][: len(kept)]
+    return full, pose_flow
+
+
 def write_submission(
     eval_step, state, test_ds, cfg, mesh, out_dir: str, version: int = 2
 ) -> str:
-    """Leaderboard submission writer (reference README.md:89-91): one feather
-    per (log, timestamp) with is_valid + flow columns, zipped."""
+    """Leaderboard submission writer (reference README.md:89-91): one
+    ``<log_id>/<timestamp_ns>.feather`` per frame, zipped upload-ready.
+
+    Two official formats [T3 — pinned in tests/test_cli_ablations.py]:
+
+    * ``version=1`` — av2-api ``make_submission_archive`` schema
+      (av2/evaluation/scene_flow): rows are exactly the eval-mask point set,
+      columns ``flow_tx_m/ty/tz_m`` float16 + ``is_dynamic`` bool, where
+      dynamic means ||flow − rigid ego flow|| > 0.05 m.
+    * ``version=2`` — 2024 bucketed leaderboard (bucketed_scene_flow_eval):
+      rows are ALL raw sweep points, columns ``is_valid`` bool (the scored
+      point set) + ``flow_tx_m/ty/tz_m`` float16.
+    """
+    import io
+
     import pandas as pd
 
+    if not getattr(test_ds, "submission_meta", False):
+        raise ValueError("write_submission needs HDF5Dataset(submission_meta="
+                         "True) to recover the raw per-sweep point sets")
     os.makedirs(out_dir, exist_ok=True)
     batch_size = max(1, int(cfg.batch_size))
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -75,35 +110,35 @@ def write_submission(
     zip_path = os.path.join(out_dir, f"submission_v{version}.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for host_batch in loader:
-            bsz = len(host_batch["scene_id"])
-            pad = (-bsz) % n_dev
-            if pad:
-                for k, v in list(host_batch.items()):
-                    if isinstance(v, np.ndarray):
-                        host_batch[k] = np.concatenate([v, v[-1:].repeat(pad, 0)])
+            bsz = pad_ragged_batch(host_batch, n_dev)
             batch = T.device_batch(host_batch, mesh)
             out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
             for b in range(bsz):
-                n = int(host_batch["pc0_mask"][b].sum())
-                flow = out["pred_flow"][b][:n].astype(np.float16)
-                # Official av2 submission schema: float16 flow columns, plus
-                # is_dynamic for leaderboard v2 (reference README.md:90-91).
-                df = pd.DataFrame({
-                    "flow_tx_m": flow[:, 0],
-                    "flow_ty_m": flow[:, 1],
-                    "flow_tz_m": flow[:, 2],
-                })
+                full, pose_flow = _frame_full_flow(host_batch, out, b)
+                eval_m = host_batch["raw_eval_mask"][b]
                 if version >= 2:
-                    df["is_dynamic"] = (
-                        np.linalg.norm(
-                            out["pred_flow"][b][:n] - out["pose_flow"][b][:n],
-                            axis=-1) > 0.05)
+                    flow = full.astype(np.float16)
+                    df = pd.DataFrame({
+                        "is_valid": eval_m.astype(bool),
+                        "flow_tx_m": flow[:, 0],
+                        "flow_ty_m": flow[:, 1],
+                        "flow_tz_m": flow[:, 2],
+                    })
+                else:
+                    flow = full[eval_m].astype(np.float16)
+                    dyn = np.linalg.norm(
+                        (full - pose_flow)[eval_m], axis=-1) > 0.05
+                    df = pd.DataFrame({
+                        "flow_tx_m": flow[:, 0],
+                        "flow_ty_m": flow[:, 1],
+                        "flow_tz_m": flow[:, 2],
+                        "is_dynamic": dyn,
+                    })
                 name = (f"{host_batch['scene_id'][b]}/"
                         f"{host_batch['timestamp'][b]}.feather")
-                tmp = os.path.join(out_dir, "frame.feather")
-                df.to_feather(tmp)
-                zf.write(tmp, name)
-                os.remove(tmp)
+                buf = io.BytesIO()
+                df.to_feather(buf)
+                zf.writestr(name, buf.getvalue())
     return zip_path
 
 
@@ -118,7 +153,8 @@ def main(cfg: Optional[Config] = None) -> Dict[str, float]:
         str(cfg.dataset_path), "test")
     ds = HDF5Dataset(split_dir, max_points=int(cfg.max_points),
                      remove_ground=bool(cfg.remove_ground),
-                     with_labels=(mode == "val"))
+                     with_labels=(mode == "val"),
+                     submission_meta=(mode == "test"))
 
     sample = ds[0]
     sample_batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else v)

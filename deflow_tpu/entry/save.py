@@ -16,6 +16,7 @@ import numpy as np
 
 from deflow_tpu.config import Config, from_cli
 from deflow_tpu.data import DataLoader, HDF5Dataset
+from deflow_tpu.data.h5dataset import pad_ragged_batch
 from deflow_tpu.models import build_model
 from deflow_tpu import trainer as T
 
@@ -48,12 +49,7 @@ def main(cfg: Optional[Config] = None) -> str:
     # collect predictions per (scene, timestamp), then write per scene file
     results = {}
     for host_batch in loader:
-        bsz = len(host_batch["scene_id"])
-        pad = (-bsz) % n_dev
-        if pad:
-            for k, v in list(host_batch.items()):
-                if isinstance(v, np.ndarray):
-                    host_batch[k] = np.concatenate([v, v[-1:].repeat(pad, 0)])
+        bsz = pad_ragged_batch(host_batch, n_dev)
         batch = T.device_batch(host_batch, mesh)
         out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
         for b in range(bsz):

@@ -32,17 +32,41 @@ def test_reference_ablation_clis(overrides, expect):
 
 
 def test_submission_zip(tmp_path):
+    """Pins the OFFICIAL leaderboard schemas [T3]:
+
+    v1 (av2-api ``make_submission_archive``): per-frame feather named
+    ``<log_id>/<timestamp>.feather``; rows = exactly the eval-mask point set
+    of the RAW sweep; columns ``flow_tx_m/ty/tz_m`` float16 + ``is_dynamic``
+    bool — in that order.
+
+    v2 (2024 bucketed leaderboard, bucketed_scene_flow_eval): rows = ALL raw
+    sweep points; columns ``is_valid`` bool + ``flow_tx_m/ty/tz_m`` float16.
+
+    Expected per-frame counts are recomputed straight from the .h5 file, not
+    from the dataset's cropped view.
+    """
     from deflow_tpu.data import HDF5Dataset, make_split
     from deflow_tpu import trainer as T
     from deflow_tpu.entry.evaluate import write_submission
+    import h5py
     import pandas as pd
 
     root = str(tmp_path)
-    make_split(root, "test", num_scenes=1, num_frames=3,
-               points_per_frame=600, labeled=False, with_eval_mask=True)
-    ds = HDF5Dataset(os.path.join(root, "test"), max_points=1024,
-                     with_labels=False)
-    cfg = compose("config", ["batch_size=2", "max_points=1024",
+    split = make_split(root, "test", num_scenes=1, num_frames=3,
+                       points_per_frame=600, labeled=False,
+                       with_eval_mask=True)
+    # ground truth about the raw sweeps, straight from the file
+    scene = os.path.join(split, os.listdir(split)[0])
+    raw = {}
+    with h5py.File(scene) as f:
+        for ts in sorted(f.keys(), key=int):
+            raw[ts] = (len(f[ts]["lidar"]), f[ts]["eval_mask"][:].astype(bool))
+
+    # max_points=128 << 600 forces a crop, so the writer must fall back to
+    # pose flow for dropped points rather than under-count rows
+    ds = HDF5Dataset(split, max_points=128, with_labels=False,
+                     submission_meta=True)
+    cfg = compose("config", ["batch_size=2", "max_points=128",
                              "voxel_size=[1.6,1.6,6]",
                              "model.target.grid_feature_size=[64,64]",
                              "model.target.num_iters=2", "precision=fp32"])
@@ -56,17 +80,35 @@ def test_submission_zip(tmp_path):
     state = jax.device_put(state, T.replicated(mesh))
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
-    zip_path = write_submission(eval_step, state, ds, cfg, mesh,
-                                out_dir=str(tmp_path / "sub"), version=2)
-    assert os.path.exists(zip_path)
-    with zipfile.ZipFile(zip_path) as zf:
-        names = zf.namelist()
-        assert len(names) == 2  # 3 frames -> 2 pairs
-        with zf.open(names[0]) as f:
-            df = pd.read_feather(f)
-    assert list(df.columns) == ["flow_tx_m", "flow_ty_m", "flow_tz_m",
-                                "is_dynamic"]
-    assert df["flow_tx_m"].dtype == np.float16
+    for version in (1, 2):
+        zip_path = write_submission(eval_step, state, ds, cfg, mesh,
+                                    out_dir=str(tmp_path / "sub"),
+                                    version=version)
+        with zipfile.ZipFile(zip_path) as zf:
+            names = sorted(zf.namelist())
+            assert len(names) == 2  # 3 frames -> 2 pairs
+            for name in names:
+                scene_id, fname = name.split("/")
+                ts = fname[: -len(".feather")]
+                assert scene_id == os.path.basename(scene)[: -len(".h5")]
+                n_raw, eval_mask = raw[ts]
+                with zf.open(name) as f:
+                    df = pd.read_feather(f)
+                if version == 1:
+                    assert list(df.columns) == [
+                        "flow_tx_m", "flow_ty_m", "flow_tz_m", "is_dynamic"]
+                    assert len(df) == int(eval_mask.sum())
+                    assert df["is_dynamic"].dtype == bool
+                else:
+                    assert list(df.columns) == [
+                        "is_valid", "flow_tx_m", "flow_ty_m", "flow_tz_m"]
+                    assert len(df) == n_raw
+                    assert df["is_valid"].dtype == bool
+                    np.testing.assert_array_equal(
+                        df["is_valid"].to_numpy(), eval_mask)
+                for c in ("flow_tx_m", "flow_ty_m", "flow_tz_m"):
+                    assert df[c].dtype == np.float16
+                assert np.isfinite(df["flow_tx_m"].to_numpy(np.float32)).all()
     ds.close()
 
 

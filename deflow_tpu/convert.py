@@ -219,8 +219,13 @@ _REVERSE_RE = _re.compile(
         _REVERSE_MAP, key=len, reverse=True)) + r")(?!\w)")
 
 
+_REVERSE_LAYERS_RE = _re.compile(r"(?<!\w)layers_(\d+)")
+
+
 def _reverse_key(key: str) -> str:
-    return _REVERSE_RE.sub(lambda m: _REVERSE_MAP[m.group(1)], key)
+    key = _REVERSE_RE.sub(lambda m: _REVERSE_MAP[m.group(1)], key)
+    # MMHead transformer stack: layers_N → pts_off_transformer.layers.N
+    return _REVERSE_LAYERS_RE.sub(r"pts_off_transformer.layers.\1", key)
 
 
 def export_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
@@ -232,6 +237,7 @@ def export_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
     running_mean/running_var (+ zero num_batches_tracked per BN).
     """
     out: Dict[str, np.ndarray] = {}
+    attn: Dict[str, Dict[str, np.ndarray]] = {}  # attn module path → leaves
 
     def walk(tree, path, collection):
         for k, v in tree.items():
@@ -240,6 +246,13 @@ def export_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
                 walk(v, p, collection)
                 continue
             arr = np.asarray(v)
+            if "self_attn" in p or "multihead_attn" in p:
+                # flax MultiHeadDotProductAttention leaves: stash, then pack
+                # into torch nn.MultiheadAttention layout after the walk
+                i = p.index("self_attn" if "self_attn" in p else "multihead_attn")
+                attn.setdefault(".".join(p[: i + 1]), {})[
+                    ".".join(p[i + 1:])] = arr
+                continue
             parent = ".".join(p[:-1])
             leaf = p[-1]
             if collection == "batch_stats":
@@ -262,6 +275,24 @@ def export_state_dict(variables: Dict) -> Dict[str, np.ndarray]:
 
     walk(variables.get("params", {}), [], "params")
     walk(variables.get("batch_stats", {}), [], "batch_stats")
+    # inverse of _convert_mha: q/k/v kernels [d, heads, hd] → packed
+    # in_proj_weight [3d, d] (rows = output dim), out kernel [heads, hd, d]
+    # → out_proj.weight [d, d]
+    for mod, leaves in attn.items():
+        d = leaves["query.kernel"].shape[0]
+        put = lambda leaf, a: out.__setitem__(
+            "model." + _reverse_key(f"{mod}.{leaf}"),
+            np.ascontiguousarray(a, dtype=np.float32))
+        put("in_proj_weight", np.concatenate(
+            [leaves[f"{n}.kernel"].reshape(d, d).T
+             for n in ("query", "key", "value")], axis=0))
+        if "query.bias" in leaves:
+            put("in_proj_bias", np.concatenate(
+                [leaves[f"{n}.bias"].reshape(d)
+                 for n in ("query", "key", "value")]))
+        put("out_proj.weight", leaves["out.kernel"].reshape(d, d).T)
+        if "out.bias" in leaves:
+            put("out_proj.bias", leaves["out.bias"])
     # torch BN modules also carry num_batches_tracked; provide zeros
     for key in [k for k in out if k.endswith("running_mean")]:
         out[key.replace("running_mean", "num_batches_tracked")] = np.zeros(

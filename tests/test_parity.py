@@ -111,11 +111,13 @@ def test_converter_covers_all_model_params():
     assert not missing, f"params not covered by converter: {sorted(missing)}"
 
 
-def test_roundtrip_export_import():
+@pytest.mark.parametrize("decoder", ["gru", "linear", "mmhead"])
+def test_roundtrip_export_import(decoder):
     """jax → torch-ckpt → jax roundtrip is exact; and the torch twin loads the
-    exported dict without unexpected keys."""
+    exported dict without unexpected keys.  Covers all three heads (the MMHead
+    attention leaves pack back into torch in_proj/out_proj layout)."""
     tm, jm, variables, pc0, pc1, pose0, pose1 = _build_pair(seed=4, n=512,
-                                                            decoder="gru")
+                                                            decoder=decoder)
     from deflow_tpu.convert import export_state_dict
 
     exported = export_state_dict(

@@ -48,7 +48,7 @@ def make_batch(batch: int, n: int, valid: int, seed: int = 0):
     from deflow_tpu.data.host_prep import attach_host_prep
 
     return attach_host_prep(hb, [0.2, 0.2, 6.0],
-                            [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0])
+                            [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0], sort=True)
 
 
 def main():

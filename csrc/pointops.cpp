@@ -146,4 +146,48 @@ void pillar_prep(const float* pts, const uint8_t* mask, int64_t n,
     sort_by_id(pillar_id, n, trash, order, iperm, sorted_ids);
 }
 
+// Sorted 9-lane per-point record: [xyz | cluster (p - pillar centroid) |
+// center-offset (p - pillar center)] in ascending-id order, invalid rows
+// zeroed.  The centroid is a pure function of the points (no gradient), so
+// computing it here removes the device's centroid scatter+gather pass
+// entirely.  Two linear passes over the sorted runs.
+void sorted_record(const float* pts, int64_t n,
+                   const float* vmin, const float* vsize, const int32_t* grid,
+                   const int32_t* order, const int32_t* sorted_ids,
+                   float* rec /* [n, 9] */) {
+    const int32_t trash = grid[0] * grid[1];
+    int64_t i = 0;
+    while (i < n) {
+        const int32_t sid = sorted_ids[i];
+        if (sid >= trash) {  // trash/padding tail: zero rows
+            std::memset(rec + i * 9, 0, sizeof(float) * 9 * (n - i));
+            break;
+        }
+        int64_t j = i;
+        double sx = 0.0, sy = 0.0, sz = 0.0;
+        while (j < n && sorted_ids[j] == sid) {
+            const float* p = pts + (int64_t)order[j] * 3;
+            sx += p[0]; sy += p[1]; sz += p[2];
+            ++j;
+        }
+        const double inv = 1.0 / (double)(j - i);
+        const float cx = (float)(sx * inv), cy = (float)(sy * inv),
+                    cz = (float)(sz * inv);
+        const float ctr_x = ((float)(sid % grid[0]) + 0.5f) * vsize[0] + vmin[0];
+        const float ctr_y = ((float)(sid / grid[0]) + 0.5f) * vsize[1] + vmin[1];
+        for (int64_t k = i; k < j; ++k) {
+            const float* p = pts + (int64_t)order[k] * 3;
+            float zb = std::floor((p[2] - vmin[2]) / vsize[2]);
+            if (zb < 0.0f) zb = 0.0f;
+            if (zb > (float)(grid[2] - 1)) zb = (float)(grid[2] - 1);
+            const float ctr_z = (zb + 0.5f) * vsize[2] + vmin[2];
+            float* r = rec + k * 9;
+            r[0] = p[0]; r[1] = p[1]; r[2] = p[2];
+            r[3] = p[0] - cx; r[4] = p[1] - cy; r[5] = p[2] - cz;
+            r[6] = p[0] - ctr_x; r[7] = p[1] - ctr_y; r[8] = p[2] - ctr_z;
+        }
+        i = j;
+    }
+}
+
 }  // extern "C"

@@ -27,9 +27,10 @@ HOST_PREP_KEYS = (
     "pc0_transformed",
     "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
     "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted",
-    # sorted per-point record: [points | center-offsets] in ascending-id
-    # order.  Point coordinates carry no gradient, so shipping them sorted
-    # removes every device-side permute from the embedder.
+    # sorted per-point record: [points | cluster | center-offsets] (9 lanes)
+    # in ascending-id order.  Point coordinates (and pillar centroids) carry
+    # no gradient, so shipping them sorted removes every device-side permute
+    # AND the centroid scatter+gather pass from the embedder.
     "pc0_sorted_rec", "pc1_sorted_rec",
 )
 
@@ -58,29 +59,38 @@ def prep_sample(
         out[f"{tag}_order"] = order
         out[f"{tag}_iperm"] = iperm
         out[f"{tag}_sorted"] = sid
-        # sorted [points | offsets] record (offsets = p − pillar center; the
-        # z bin only shapes this continuous feature, ids are z-free)
-        valid = sid < grid[0] * grid[1]
-        pts_s = np.ascontiguousarray(pts[:, :3], np.float32)[order]
-        cx = (sid % grid[0]).astype(np.float32)
-        cy = (sid // grid[0]).astype(np.float32)
-        cz = np.clip(np.floor((pts_s[:, 2] - lo[2]) / vs[2]), 0, grid[2] - 1)
-        center = np.stack([(cx + 0.5) * vs[0] + lo[0],
-                           (cy + 0.5) * vs[1] + lo[1],
-                           (cz + 0.5) * vs[2] + lo[2]], axis=-1)
-        off_s = np.where(valid[:, None], pts_s - center, 0.0)
-        pts_s = np.where(valid[:, None], pts_s, 0.0)
-        out[f"{tag}_sorted_rec"] = np.concatenate(
-            [pts_s, off_s], axis=-1).astype(np.float32)
+        # sorted [points | cluster | center-offsets] record — the full 9-lane
+        # PFN input, centroids included (pure functions of the points: no
+        # gradient, so the host owns them; the z bin only shapes the
+        # continuous center feature, ids are z-free)
+        out[f"{tag}_sorted_rec"] = native.sorted_record(
+            pts, order, sid, lo, vs, grid)
     return out
+
+
+# Per-point batch keys that ride pc0's (resp. pc1's) point order and must be
+# co-permuted when the pipeline runs fully sorted.
+_PC0_ALIGNED = ("pc0", "pc0_mask", "flow", "flow_is_valid",
+                "flow_category_indices", "eval_mask", "dufo_label0")
+_PC1_ALIGNED = ("pc1", "pc1_mask", "dufo_label1")
 
 
 def attach_host_prep(
     batch: Dict[str, np.ndarray],
     voxel_size: Sequence[float],
     point_cloud_range: Sequence[float],
+    sort: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Augment a collated batch in place with host-prep arrays."""
+    """Augment a collated batch in place with host-prep arrays.
+
+    ``sort=True`` — the fully-sorted pipeline: every per-point array
+    (points, masks, labels) is permuted into ascending-pillar-id order on the
+    host, so the device runs ZERO permutes anywhere (per-point losses are
+    permutation-invariant sums).  ``pc{0,1}_order``/``iperm`` are then not
+    shipped (the model treats their absence as "presorted"); the inverse
+    permutation stays host-side under ``pc{0,1}_unsort`` for consumers that
+    need original point order (``out_orig = out_sorted[unsort]``).
+    """
     b = batch["pc0"].shape[0]
     per = [
         prep_sample(
@@ -93,8 +103,24 @@ def attach_host_prep(
         )
         for i in range(b)
     ]
+    if sort:
+        for i, p in enumerate(per):
+            orders = {"0": p["pc0_order"], "1": p["pc1_order"]}
+            for keys, o in ((_PC0_ALIGNED, orders["0"]),
+                            (_PC1_ALIGNED, orders["1"])):
+                for k in keys:
+                    if k in batch:
+                        batch[k][i] = batch[k][i][o]
+            p["pc0_transformed"] = p["pc0_transformed"][orders["0"]]
+            for tag in ("pc0", "pc1"):
+                p[f"{tag}_ids"] = p[f"{tag}_sorted"]
+                p[f"{tag}_unsort"] = p.pop(f"{tag}_iperm")
+                del p[f"{tag}_order"]
+        batch["pc0_unsort"] = np.stack([p["pc0_unsort"] for p in per])
+        batch["pc1_unsort"] = np.stack([p["pc1_unsort"] for p in per])
     for k in HOST_PREP_KEYS:
-        batch[k] = np.stack([p[k] for p in per])
+        if k in per[0]:
+            batch[k] = np.stack([p[k] for p in per])
     return batch
 
 

@@ -46,8 +46,10 @@ def main(cfg: Optional[Config] = None) -> dict:
         if os.path.isdir(val_dir) else None
     )
     from deflow_tpu.data.host_prep import attach_host_prep
+    # sort=True: the loader ships every per-point array in ascending-pillar-id
+    # order so the device runs zero permutes (losses are permutation-invariant)
     post = (lambda b: attach_host_prep(
-        b, list(cfg.voxel_size), list(cfg.point_cloud_range)))
+        b, list(cfg.voxel_size), list(cfg.point_cloud_range), sort=True))
     train_loader = DataLoader(train_ds, batch_size, shuffle=True,
                               seed=int(cfg.seed), post_collate=post)
 

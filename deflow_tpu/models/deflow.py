@@ -106,8 +106,11 @@ class DeFlow(nn.Module):
             if host_prep is None or f"{tag}_ids" not in host_prep:
                 return None
             d = {"ids": host_prep[f"{tag}_ids"],
-                 "order": host_prep[f"{tag}_order"],
                  "sorted_id": host_prep[f"{tag}_sorted"]}
+            # no "order" key ⇒ the loader shipped the batch fully presorted
+            # (attach_host_prep(sort=True)): zero device permutes anywhere
+            if f"{tag}_order" in host_prep:
+                d["order"] = host_prep[f"{tag}_order"]
             if f"{tag}_sorted_rec" in host_prep:
                 d["sorted_rec"] = host_prep[f"{tag}_sorted_rec"]
             return d

@@ -136,9 +136,13 @@ class DynamicEmbedder(nn.Module):
             info = jax.vmap(
                 lambda p, m, i: pillar_info_from_ids(p, m, i, cfg)
             )(points, mask, host["ids"])
-            plan = make_host_scatter_plan(
-                host["order"], host["sorted_id"], info.pillar_id,
-                cfg.num_pillars + 1)
+            if "order" in host:
+                plan = make_host_scatter_plan(
+                    host["order"], host["sorted_id"], info.pillar_id,
+                    cfg.num_pillars + 1)
+            else:  # batch shipped presorted: ids ARE ascending, no permutes
+                plan = make_presorted_plan(
+                    host["sorted_id"], cfg.num_pillars + 1)
             if ("sorted_rec" in host and _use_pallas()
                     and self.scatter_mode != "max"):
                 # Fully sorted compute: the host shipped the point record in
@@ -167,28 +171,17 @@ class DynamicEmbedder(nn.Module):
         return image.astype(self.dtype), info, plan
 
     def _sorted_image(self, host, cfg, pfn, train):
-        """Pseudoimage from the host-sorted record (zero device permutes)."""
+        """Pseudoimage from the host-sorted record (zero device permutes).
+
+        The 9-lane record IS the PFN input ([xyz | cluster | center-offset],
+        host-computed centroids — utils/native.sorted_record), so the only
+        device-side scatter left is the feature pass."""
         b, n, _ = host["sorted_rec"].shape
-        rec = host["sorted_rec"]
-        points_s = rec[..., :3]
-        offsets_s = rec[..., 3:]
+        feats9_s = host["sorted_rec"]
         ids_s = host["sorted_id"]
         valid_s = ids_s < cfg.num_pillars
         pre = make_presorted_plan(ids_s, cfg.num_pillars + 1)
 
-        # centroids in centered coordinates (bf16-safe: |offset| ≤ voxel/2)
-        ones = valid_s.astype(self.dtype)
-        data = jnp.concatenate(
-            [offsets_s.astype(self.dtype), ones[..., None]], axis=-1)
-        sums = segment_sum_batched(data, ids_s, cfg.num_pillars + 1, pre)
-        counts = sums[..., 3].astype(jnp.float32)
-        mean_off = (sums[..., :3].astype(jnp.float32)
-                    / jnp.maximum(counts, 1.0)[..., None])
-        per_point = _row_gather(mean_off, jnp.where(valid_s, ids_s, 0))
-        cluster_s = jnp.where(
-            valid_s[..., None], offsets_s - per_point, 0.0)
-
-        feats9_s = jnp.concatenate([points_s, cluster_s, offsets_s], axis=-1)
         point_feats_s = pfn(feats9_s, valid_s, train)
 
         fdata = jnp.concatenate(

@@ -83,10 +83,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 _BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
                "ego_motion", "flow", "flow_is_valid", "flow_category_indices",
                "dufo_label0", "dufo_label1",
-               # host-side ragged bookkeeping (data/host_prep.py)
+               # host-side ragged bookkeeping (data/host_prep.py) — keep in
+               # lockstep with HOST_PREP_KEYS: a key missing here silently
+               # drops that host-prep feature from the jitted step (the
+               # sorted-record fast path was lost to exactly that once)
                "pc0_transformed",
                "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
-               "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted")
+               "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted",
+               "pc0_sorted_rec", "pc1_sorted_rec")
 
 
 def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str, jnp.ndarray]:

@@ -53,6 +53,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.pillar_prep.restype = None
     lib.pillar_prep.argtypes = [f32p, u8p, i64, f32p, f32p, i32p,
                                 i32p, i32p, i32p, i32p]
+    if hasattr(lib, "sorted_record"):
+        lib.sorted_record.restype = None
+        lib.sorted_record.argtypes = [f32p, i64, f32p, f32p, i32p,
+                                      i32p, i32p, f32p]
     _LIB = lib
     return lib
 
@@ -187,3 +191,46 @@ def pillar_prep(pts: np.ndarray, mask: np.ndarray, vmin, vsize, grid):
         _ptr(pid, ctypes.c_int32), _ptr(order, ctypes.c_int32),
         _ptr(iperm, ctypes.c_int32), _ptr(sorted_id, ctypes.c_int32))
     return pid, order, iperm, sorted_id
+
+
+def sorted_record(pts: np.ndarray, order: np.ndarray, sorted_id: np.ndarray,
+                  vmin, vsize, grid) -> np.ndarray:
+    """Sorted 9-lane record [xyz | p−centroid | p−center] (ascending-id order,
+    invalid rows zero).  Host-side centroids: a pure function of the points,
+    so the device spends zero time on the embedder's centroid scatter+gather."""
+    pts = np.ascontiguousarray(pts[:, :3], np.float32)
+    n = len(pts)
+    grid = np.ascontiguousarray(grid, np.int32)
+    vmin = np.asarray(vmin, np.float32)
+    vsize = np.asarray(vsize, np.float32)
+    trash = int(grid[0]) * int(grid[1])
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sorted_record"):
+        rec = np.empty((n, 9), np.float32)
+        lib.sorted_record(
+            _ptr(pts, ctypes.c_float), n,
+            _ptr(np.ascontiguousarray(vmin), ctypes.c_float),
+            _ptr(np.ascontiguousarray(vsize), ctypes.c_float),
+            _ptr(grid, ctypes.c_int32),
+            _ptr(np.ascontiguousarray(order, np.int32), ctypes.c_int32),
+            _ptr(np.ascontiguousarray(sorted_id, np.int32), ctypes.c_int32),
+            _ptr(rec, ctypes.c_float))
+        return rec
+
+    valid = sorted_id < trash
+    pts_s = pts[order]
+    safe_id = np.where(valid, sorted_id, 0).astype(np.int64)
+    counts = np.bincount(safe_id, weights=valid, minlength=trash)
+    cent = np.stack([
+        np.bincount(safe_id, weights=np.where(valid, pts_s[:, a], 0.0),
+                    minlength=trash) for a in range(3)], axis=-1)
+    cent /= np.maximum(counts, 1.0)[:, None]
+    cluster = pts_s - cent[safe_id]
+    cx = (safe_id % grid[0]).astype(np.float32)
+    cy = (safe_id // grid[0]).astype(np.float32)
+    cz = np.clip(np.floor((pts_s[:, 2] - vmin[2]) / vsize[2]), 0, grid[2] - 1)
+    center = np.stack([(cx + 0.5) * vsize[0] + vmin[0],
+                       (cy + 0.5) * vsize[1] + vmin[1],
+                       (cz + 0.5) * vsize[2] + vmin[2]], axis=-1)
+    rec = np.concatenate([pts_s, cluster, pts_s - center], axis=-1)
+    return np.where(valid[:, None], rec, 0.0).astype(np.float32)

@@ -62,6 +62,23 @@ def test_model_host_prep_matches_device_path(identity_pose):
         assert np.quantile(d[both], 0.999) < 1e-3
 
 
+def test_host_prep_keys_survive_device_batch():
+    """EVERY host-prep key must pass through trainer.device_batch — a key
+    missing from _BATCH_KEYS silently drops that feature from the jitted step
+    (the sorted-record fast path was lost to exactly that in round 1/2)."""
+    from deflow_tpu import trainer as T
+    from deflow_tpu.data.host_prep import HOST_PREP_KEYS, host_prep_from_batch
+
+    missing = set(HOST_PREP_KEYS) - set(T._BATCH_KEYS)
+    assert not missing, f"_BATCH_KEYS drops host-prep keys: {sorted(missing)}"
+
+    hb = _batch(seed=1, b=1, n=256)
+    attach_host_prep(hb, list(VOXEL), [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0])
+    dev = T.device_batch(hb, None)
+    hp = host_prep_from_batch(dev)
+    assert hp is not None and "pc0_sorted_rec" in hp
+
+
 def test_host_prep_keys_and_shapes():
     hb = _batch()
     attach_host_prep(hb, list(VOXEL), [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0])
@@ -110,6 +127,110 @@ def test_host_prep_pallas_plan_equivalence(monkeypatch):
                                   np.asarray(info_dev.pillar_id))
     np.testing.assert_allclose(np.asarray(img_host), np.asarray(img_dev),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sorted_pipeline_train_step_equivalence():
+    """attach_host_prep(sort=True) permutes every per-point array on the host;
+    the train step (loss + updated params) must match the unsorted pipeline —
+    losses are permutation-invariant sums."""
+    import copy
+
+    from deflow_tpu.config import compose
+    from deflow_tpu.models import build_model
+    from deflow_tpu import trainer as T
+
+    rng = np.random.default_rng(3)
+    hb = _batch(seed=8, b=2, n=768, identity_pose=False)
+    b, n = hb["pc0"].shape[:2]
+    hb["flow"] = rng.normal(0, 0.1, hb["pc0"].shape).astype(np.float32)
+    hb["flow_is_valid"] = hb["pc0_mask"].copy()
+    hb["flow_category_indices"] = rng.integers(0, 20, (b, n)).astype(np.int32)
+    hb_sorted = copy.deepcopy(hb)
+
+    rng_range = [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0]
+    attach_host_prep(hb, list(VOXEL), rng_range)
+    attach_host_prep(hb_sorted, list(VOXEL), rng_range, sort=True)
+    # sorted mode ships no device-side permutation state
+    assert "pc0_order" not in host_prep_from_batch(hb_sorted)
+    assert "pc0_unsort" in hb_sorted
+    # unsort really inverts: pc0_sorted[unsort] == original pc0
+    np.testing.assert_array_equal(
+        hb_sorted["pc0"][0][hb_sorted["pc0_unsort"][0]], hb["pc0"][0])
+
+    cfg = compose("config", [
+        "batch_size=2", "max_points=768", "voxel_size=[1.6,1.6,6]",
+        "model.target.grid_feature_size=[64,64]", "model.target.num_iters=2",
+        "precision=fp32", "lr=1e-3",
+    ])
+    model = build_model(cfg.model, precision="fp32")
+    mesh = T.create_mesh(1)
+    step = T.jit_train_step(T.make_train_step(model, "deflowLoss"), mesh)
+
+    outs = []
+    for batch in (hb, hb_sorted):
+        state = T.init_state(model, cfg, batch, seed=0)
+        state = jax.device_put(state, T.replicated(mesh))
+        new_state, aux = step(state, T.device_batch(batch, mesh))
+        outs.append((jax.device_get(aux),
+                     jax.tree.map(np.asarray,
+                                  jax.device_get(new_state.batch_stats))))
+    a, s = outs
+    assert np.isfinite(a[0]["loss"])
+    # loss / epe / global grad norm: permutation-invariant up to summation
+    # order (post-Adam params are NOT comparable: BN-sheltered biases have
+    # ~zero gradient, so Adam turns last-ulp noise into full-lr updates)
+    np.testing.assert_allclose(float(s[0]["loss"]), float(a[0]["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(s[0]["epe"]), float(a[0]["epe"]), rtol=1e-5)
+    np.testing.assert_allclose(float(s[0]["grad_norm"]), float(a[0]["grad_norm"]),
+                               rtol=1e-4)
+    assert int(s[0]["valid_points"]) == int(a[0]["valid_points"])
+    for x, y in zip(jax.tree.leaves(a[1]), jax.tree.leaves(s[1])):
+        np.testing.assert_allclose(y, x, rtol=1e-4, atol=1e-6)
+
+
+def test_sorted_record_semantics():
+    """native.sorted_record (C++ and numpy fallback) returns the exact 9-lane
+    PFN input: [xyz | p−centroid | p−center] in ascending-id order, invalid
+    rows zero; centroids match a direct per-pillar mean."""
+    from deflow_tpu.utils import native
+
+    rng = np.random.default_rng(7)
+    n = 777
+    pts = np.stack([rng.uniform(-45, 45, n), rng.uniform(-45, 45, n),
+                    rng.uniform(-2, 2, n)], axis=-1).astype(np.float32)
+    mask = rng.random(n) > 0.1
+    lo = np.array([-51.2, -51.2, -3.0], np.float32)
+    vs = np.array([1.6, 1.6, 6.0], np.float32)
+    grid = np.array([64, 64, 1], np.int32)
+    pid, order, iperm, sid = native.pillar_prep(pts, mask, lo, vs, grid)
+    rec = native.sorted_record(pts, order, sid, lo, vs, grid)
+    assert rec.shape == (n, 9) and rec.dtype == np.float32
+
+    valid = sid < 64 * 64
+    pts_s = pts[order]
+    np.testing.assert_allclose(rec[valid, :3], pts_s[valid], atol=0)
+    assert (rec[~valid] == 0).all()
+    # centroid check against a direct groupby mean
+    for want_id in np.unique(sid[valid])[:20]:
+        sel = sid == want_id
+        cent = pts_s[sel].mean(axis=0)
+        np.testing.assert_allclose(rec[sel, 3:6], pts_s[sel] - cent,
+                                   rtol=1e-5, atol=1e-5)
+    # center offset: bounded by half a voxel in xy
+    assert np.abs(rec[valid, 6]).max() <= vs[0] / 2 + 1e-5
+    assert np.abs(rec[valid, 7]).max() <= vs[1] / 2 + 1e-5
+
+    # C++ and numpy fallback agree exactly-ish
+    if native.get_lib() is not None:
+        import deflow_tpu.utils.native as N
+        lib_save = N._LIB
+        try:
+            N._LIB = None
+            N._TRIED = True
+            rec_np = native.sorted_record(pts, order, sid, lo, vs, grid)
+        finally:
+            N._LIB = lib_save
+        np.testing.assert_allclose(rec, rec_np, rtol=1e-5, atol=1e-5)
 
 
 def test_sorted_record_path_matches_unsorted(monkeypatch):

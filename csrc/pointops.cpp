@@ -146,6 +146,19 @@ void pillar_prep(const float* pts, const uint8_t* mask, int64_t n,
     sort_by_id(pillar_id, n, trash, order, iperm, sorted_ids);
 }
 
+// Row gather: dst[i] = src[order[i]] for [n, k] elem-size-`esize` rows.
+// The sorted data pipeline permutes ~10 arrays per sample; numpy fancy
+// indexing holds the GIL, this releases it (ctypes) and OpenMPs across rows.
+void gather_rows(const void* src, const int32_t* order, int64_t n,
+                 int64_t row_bytes, void* dst) {
+    const char* s = (const char*)src;
+    char* d = (char*)dst;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+        std::memcpy(d + i * row_bytes, s + (int64_t)order[i] * row_bytes,
+                    row_bytes);
+}
+
 // Sorted 9-lane per-point record: [xyz | cluster (p - pillar centroid) |
 // center-offset (p - pillar center)] in ascending-id order, invalid rows
 // zeroed.  The centroid is a pure function of the points (no gradient), so

@@ -264,7 +264,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: Optional[bool] = None,
-                 prefetch: int = 2, post_collate=None):
+                 prefetch: int = 2, post_collate=None, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -273,7 +273,21 @@ class DataLoader:
         self.prefetch = prefetch
         self.post_collate = post_collate  # e.g. host_prep.attach (runs in the
                                           # prefetch thread, off the step path)
+        # sample decode parallelism: threads, not processes — the hot decode
+        # work (h5 slice + C++ select_pad) releases the GIL
+        self.num_workers = int(num_workers)
+        self._pool = None
         self.epoch = 0
+
+    def _decode(self, sel) -> list:
+        if self.num_workers > 1 and len(sel) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            return list(self._pool.map(
+                self.dataset.__getitem__, [int(i) for i in sel]))
+        return [self.dataset[int(i)] for i in sel]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -290,7 +304,7 @@ class DataLoader:
                 sel = order[start:start + self.batch_size]
                 if self.drop_last and len(sel) < self.batch_size:
                     return
-                batch = collate([self.dataset[int(i)] for i in sel])
+                batch = collate(self._decode(sel))
                 if self.post_collate is not None:
                     batch = self.post_collate(batch)
                 yield batch

@@ -80,6 +80,7 @@ def attach_host_prep(
     voxel_size: Sequence[float],
     point_cloud_range: Sequence[float],
     sort: bool = False,
+    num_workers: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Augment a collated batch in place with host-prep arrays.
 
@@ -90,10 +91,17 @@ def attach_host_prep(
     shipped (the model treats their absence as "presorted"); the inverse
     permutation stays host-side under ``pc{0,1}_unsort`` for consumers that
     need original point order (``out_orig = out_sorted[unsort]``).
+
+    ``num_workers > 1`` parallelizes across samples with threads: the hot
+    per-sample work (SE(3), binning, counting sort, record build, row
+    permutes) runs in the C++ library, which releases the GIL via ctypes, so
+    threads scale ~linearly (the reference leans on torch DataLoader worker
+    PROCESSES for the same reason — 1_train.sh:29 num_workers=16).
     """
     b = batch["pc0"].shape[0]
-    per = [
-        prep_sample(
+
+    def one(i):
+        p = prep_sample(
             batch["pc0"][i], batch["pc1"][i],
             batch["pc0_mask"][i], batch["pc1_mask"][i],
             batch["pose0"][i], batch["pose1"][i],
@@ -101,21 +109,31 @@ def attach_host_prep(
             ego_motion=(batch["ego_motion"][i]
                         if "ego_motion" in batch else None),
         )
-        for i in range(b)
-    ]
-    if sort:
-        for i, p in enumerate(per):
-            orders = {"0": p["pc0_order"], "1": p["pc1_order"]}
-            for keys, o in ((_PC0_ALIGNED, orders["0"]),
-                            (_PC1_ALIGNED, orders["1"])):
+        if sort:
+            from deflow_tpu.utils.native import permute_rows
+
+            for keys, o in ((_PC0_ALIGNED, p["pc0_order"]),
+                            (_PC1_ALIGNED, p["pc1_order"])):
                 for k in keys:
                     if k in batch:
-                        batch[k][i] = batch[k][i][o]
-            p["pc0_transformed"] = p["pc0_transformed"][orders["0"]]
+                        batch[k][i] = permute_rows(batch[k][i], o)
+            p["pc0_transformed"] = permute_rows(
+                p["pc0_transformed"], p["pc0_order"])
             for tag in ("pc0", "pc1"):
                 p[f"{tag}_ids"] = p[f"{tag}_sorted"]
                 p[f"{tag}_unsort"] = p.pop(f"{tag}_iperm")
                 del p[f"{tag}_order"]
+        return p
+
+    if num_workers and num_workers > 1 and b > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=int(num_workers)) as pool:
+            per = list(pool.map(one, range(b)))
+    else:
+        per = [one(i) for i in range(b)]
+
+    if sort:
         batch["pc0_unsort"] = np.stack([p["pc0_unsort"] for p in per])
         batch["pc1_unsort"] = np.stack([p["pc1_unsort"] for p in per])
     for k in HOST_PREP_KEYS:

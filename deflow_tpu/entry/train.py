@@ -48,10 +48,13 @@ def main(cfg: Optional[Config] = None) -> dict:
     from deflow_tpu.data.host_prep import attach_host_prep
     # sort=True: the loader ships every per-point array in ascending-pillar-id
     # order so the device runs zero permutes (losses are permutation-invariant)
+    workers = int(cfg.get("num_workers", 0))
     post = (lambda b: attach_host_prep(
-        b, list(cfg.voxel_size), list(cfg.point_cloud_range), sort=True))
+        b, list(cfg.voxel_size), list(cfg.point_cloud_range), sort=True,
+        num_workers=workers))
     train_loader = DataLoader(train_ds, batch_size, shuffle=True,
-                              seed=int(cfg.seed), post_collate=post)
+                              seed=int(cfg.seed), post_collate=post,
+                              num_workers=workers)
 
     model = build_model(cfg.model, precision=str(cfg.get("precision", "bf16")))
     sample = next(iter(DataLoader(train_ds, batch_size, shuffle=False)))

@@ -135,24 +135,26 @@ def seflow_loss(
     warped = pc0 + total
     t2 = truncate * truncate
 
-    def frame_terms(b):
-        d0, d1 = chamfer_distance(warped[b], pc1[b], m0[b], m1[b])
-        cham = (_masked_mean(jnp.minimum(d0, t2), m0[b])
-                + _masked_mean(jnp.minimum(d1, t2), m1[b]))
-        terms = cham
-        if dufo0 is not None:
-            static = m0[b] & (dufo0[b] == 0)
-            terms = terms + _masked_mean(jnp.sum(net[b] ** 2, axis=-1), static)
-            if dufo1 is not None:
-                dyn0 = m0[b] & (dufo0[b] > 0)
-                dyn1 = m1[b] & (dufo1[b] > 0)
-                dd0, dd1 = chamfer_distance(warped[b], pc1[b], dyn0, dyn1)
-                terms = terms + (_masked_mean(jnp.minimum(dd0, t2), dyn0)
-                                 + _masked_mean(jnp.minimum(dd1, t2), dyn1))
-        return terms
+    def _rows_mean(x, m):
+        """Per-sample masked mean: [B, N] × [B, N] → [B]."""
+        s = jnp.sum(jnp.where(m, x, 0.0), axis=-1)
+        n = jnp.sum(m, axis=-1)
+        return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
 
-    b = pc0.shape[0]
-    return sum(frame_terms(i) for i in range(b)) / b
+    # one batched chamfer instead of a per-sample Python loop: [B, N]/[B, M]
+    d0, d1 = chamfer_distance(warped, pc1, m0, m1)
+    terms = (_rows_mean(jnp.minimum(d0, t2), m0)
+             + _rows_mean(jnp.minimum(d1, t2), m1))
+    if dufo0 is not None:
+        static = m0 & (dufo0 == 0)
+        terms = terms + _rows_mean(jnp.sum(net ** 2, axis=-1), static)
+        if dufo1 is not None:
+            dyn0 = m0 & (dufo0 > 0)
+            dyn1 = m1 & (dufo1 > 0)
+            dd0, dd1 = chamfer_distance(warped, pc1, dyn0, dyn1)
+            terms = terms + (_rows_mean(jnp.minimum(dd0, t2), dyn0)
+                             + _rows_mean(jnp.minimum(dd1, t2), dyn1))
+    return jnp.mean(terms)
 
 
 SSL_LOSS_REGISTRY: Dict[str, Callable] = {

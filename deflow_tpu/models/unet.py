@@ -29,11 +29,60 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class SpaceToDepthConv(nn.Module):
+    """k=8 / s=2 / p=3 conv evaluated as k'=5 / s=1 / p=2 on the 2x2
+    space-to-depth input (4x channels).
+
+    TPU motivation: the stride-2 k=8 conv at 512x512xC=32 is layout-bound —
+    XLA pads the 32-lane tensors to 128 lanes and materializes strided
+    [·,512,512,·] intermediates in forward AND backward.  Folding the 2x2
+    phases into channels runs the same arithmetic as a dense stride-1 conv at
+    256x256x128 (full lane utilization), with the input grad landing in the
+    same friendly layout.  The parameter keeps the torch checkpoint shape
+    [8, 8, C, O]; the k'=5 rearrangement is a pure weight reshape at apply
+    time (exact: every tap maps to one phase slot, out-of-range taps hit
+    zero-padded weight rows).
+    """
+
+    out_channels: int
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c, o = self.in_channels, self.out_channels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
+            (8, 8, c, o))
+        bias = self.param("bias", nn.initializers.zeros, (o,))
+
+        b, h, w, _ = x.shape
+        assert h % 2 == 0 and w % 2 == 0, "space-to-depth needs even H, W"
+        # x[., 2i+dh, 2j+dw, c] -> y[., i, j, (dh, dw, c)]
+        y = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(b, h // 2, w // 2, 4 * c).astype(self.dtype)
+
+        # original tap u relates to phase dh and s2d tap m by u = 2m + dh - 1
+        # + 3 = 2(m+2) + dh - ... : with wp = pad(W, 1 each side on kh/kw),
+        # wp[2km + dh, 2kw + dw] == W[u, v] for km, kw in [0, 5)
+        wp = jnp.pad(kernel, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        w2 = wp.reshape(5, 2, 5, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+        w2 = w2.reshape(5, 5, 4 * c, o).astype(self.dtype)
+
+        out = jax.lax.conv_general_dilated(
+            y, w2, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias.astype(out.dtype)
+
+
 class ConvWithNorms(nn.Module):
     """Conv2d + BatchNorm + GELU (reference decoder.py:202-220).
 
     Keeps the reference's quirk of skipping batch-norm when the spatial map is
     exactly 1x1 (a static-shape check, so it folds away under jit).
+    ``space_to_depth`` swaps the conv for the phase-folded equivalent
+    (k=8/s=2/p=3 only); the parameter tree is unchanged (``conv/kernel``).
     """
 
     out_channels: int
@@ -41,17 +90,23 @@ class ConvWithNorms(nn.Module):
     stride: int
     padding: int
     dtype: Any = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(
-            self.out_channels,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.space_to_depth:
+            assert (self.kernel_size, self.stride, self.padding) == (8, 2, 3)
+            x = SpaceToDepthConv(self.out_channels, x.shape[-1],
+                                 dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.out_channels,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding), (self.padding, self.padding)),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if not (x.shape[1] == 1 and x.shape[2] == 1):
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -107,7 +162,9 @@ class FastFlow3DUNet(nn.Module):
         cwn = lambda c, k, s, p, name: ConvWithNorms(
             c, k, s, p, dtype=self.dtype, name=name
         )
-        self.encoder_step_1 = cwn(64, 8, 2, 3, "encoder_step_1")
+        self.encoder_step_1 = ConvWithNorms(
+            64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
+            name="encoder_step_1")
         self.encoder_step_2 = cwn(64, 3, 1, 1, "encoder_step_2")
         self.encoder_step_3 = cwn(64, 3, 1, 1, "encoder_step_3")
         self.encoder_step_4 = cwn(64, 3, 1, 1, "encoder_step_4")

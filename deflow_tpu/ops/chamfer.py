@@ -4,13 +4,17 @@ TPU rebuild of the reference's brute-force ``chamfer3D`` CUDA extension
 (reference README.md:39; SURVEY.md §2.3 native component #2), used by the
 zeroflow/seflow-family losses and DUFO label generation.
 
-Design: the N x M pairwise-distance problem is expressed as
-``|p|^2 + |q|^2 - 2 p.q`` so the dominant term is a matmul that lands on the
-MXU, and the min-reduction is tiled over the M axis with ``lax.scan`` to bound
-memory at ``N x TILE`` instead of ``N x M``.  Masked (padding) points are
-excluded with +inf sentinels on the query side and zeroed contributions on the
-reduction side.  A Pallas double-buffered variant can replace `_min_dist_tiled`
-after profiling; semantics are fixed by the tests.
+Two backends with identical semantics (fixed by tests):
+
+- **Pallas kernel** (ops/pallas_chamfer.py, TPU): query set resident in VMEM,
+  fused distance + running min/argmin per tile — HBM traffic is one read of
+  p and one write of (dist, idx).
+- **XLA ``lax.scan``** (everywhere else): ``|p|^2 + |q|^2 - 2 p.q`` with the
+  cross term on the MXU, min-reduction tiled over the reference axis.
+
+Gradients ride a shared custom VJP built from the saved argmin indices — the
+exact subgradient the CUDA extension's autograd uses (d|p - q*|^2 terms at
+the matched pairs), with no need to differentiate through the search.
 """
 
 from __future__ import annotations
@@ -45,10 +49,14 @@ def _min_dist_tiled(
         q_t, qm_t, t_idx = inp
         q_sq = jnp.sum(q_t * q_t, axis=-1)
         # [N, TILE] pairwise squared distances via MXU matmul
+        # HIGHEST: the TPU default matmul pass rounds f32 operands to bf16,
+        # which at ±51 m coordinate scale puts ~1e1 absolute error on the
+        # squared distances (measured) — far outside chamfer tolerances.
         d = (
             p_sq[:, None]
             + q_sq[None, :]
-            - 2.0 * jnp.dot(p, q_t.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.dot(p, q_t.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         )
         d = jnp.where(qm_t[None, :], jnp.maximum(d, 0.0), _BIG)
         tile_min = jnp.min(d, axis=1)
@@ -64,7 +72,61 @@ def _min_dist_tiled(
     return best, best_idx
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "return_idx"))
+def _use_pallas() -> bool:
+    from deflow_tpu.ops.voxel import _use_pallas as up
+
+    return up()
+
+
+def _nn_search(p, q, q_mask, tile):
+    """Backend dispatch: (dist [N] f32 squared, idx [N] i32)."""
+    if _use_pallas():
+        from deflow_tpu.ops.pallas_chamfer import chamfer_min_pallas
+
+        return chamfer_min_pallas(p, q, q_mask)
+    return _min_dist_tiled(p, q, q_mask, tile)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _chamfer_nn(pc0, pc1, mask0, mask1, tile):
+    """Bidirectional masked NN: (d0 [N], d1 [M], i0 [N], i1 [M])."""
+    d0, i0 = _nn_search(pc0, pc1, mask1, tile)
+    d1, i1 = _nn_search(pc1, pc0, mask0, tile)
+    d0 = jnp.where(mask0, d0, 0.0)
+    d1 = jnp.where(mask1, d1, 0.0)
+    return d0, d1, i0, i1
+
+
+def _chamfer_nn_fwd(pc0, pc1, mask0, mask1, tile):
+    out = _chamfer_nn(pc0, pc1, mask0, mask1, tile)
+    d0, d1, i0, i1 = out
+    return out, (pc0, pc1, mask0, mask1, i0, i1)
+
+
+def _chamfer_nn_bwd(tile, res, cts):
+    """Subgradient at the matched pairs (what the CUDA extension's autograd
+    computes): d|p - q*|^2/dp = 2 (p - q*), with the mirror term scattered
+    into the matched rows of the other cloud."""
+    pc0, pc1, mask0, mask1, i0, i1 = res
+    g0, g1, _, _ = cts  # no gradients through the integer indices
+
+    both0 = (mask0 & jnp.any(mask1))[..., None]
+    both1 = (mask1 & jnp.any(mask0))[..., None]
+    diff0 = jnp.where(both0, pc0 - pc1[i0], 0.0)     # [N, 3]
+    diff1 = jnp.where(both1, pc1 - pc0[i1], 0.0)     # [M, 3]
+    w0 = (2.0 * g0)[..., None] * diff0
+    w1 = (2.0 * g1)[..., None] * diff1
+
+    d_pc0 = w0.at[i1].add(-w1, mode="drop")
+    d_pc1 = w1.at[i0].add(-w0, mode="drop")
+    zero_m0 = jnp.zeros_like(mask0, dtype=jax.dtypes.float0)
+    zero_m1 = jnp.zeros_like(mask1, dtype=jax.dtypes.float0)
+    return d_pc0, d_pc1, zero_m0, zero_m1
+
+
+_chamfer_nn.defvjp(_chamfer_nn_fwd, _chamfer_nn_bwd)
+
+
 def chamfer_distance(
     pc0: jnp.ndarray,
     pc1: jnp.ndarray,
@@ -76,23 +138,27 @@ def chamfer_distance(
     """Bidirectional squared nearest-neighbor distances.
 
     Args:
-        pc0: [N, 3]; pc1: [M, 3]; mask0/mask1 mark real (non-padding) points.
+        pc0: [N, 3] or [B, N, 3]; pc1: [M, 3] or [B, M, 3]; mask0/mask1 mark
+        real (non-padding) points.
     Returns:
-        (dist0 [N], dist1 [M]) squared NN distances (0 where masked out), and
+        (dist0, dist1) squared NN distances (0 where masked out), and
         optionally the matching (idx0, idx1).  Matches the reference CUDA
-        extension's (dist1, dist2, idx1, idx2) contract.
+        extension's (dist1, dist2, idx1, idx2) contract.  Differentiable via
+        the matched-pair subgradient.
     """
+    batched = pc0.ndim == 3
     if mask0 is None:
-        mask0 = jnp.ones(pc0.shape[:1], bool)
+        mask0 = jnp.ones(pc0.shape[:-1], bool)
     if mask1 is None:
-        mask1 = jnp.ones(pc1.shape[:1], bool)
-    pc0 = jnp.where(mask0[:, None], pc0, 0.0).astype(jnp.float32)
-    pc1 = jnp.where(mask1[:, None], pc1, 0.0).astype(jnp.float32)
+        mask1 = jnp.ones(pc1.shape[:-1], bool)
+    pc0 = jnp.where(mask0[..., None], pc0, 0.0).astype(jnp.float32)
+    pc1 = jnp.where(mask1[..., None], pc1, 0.0).astype(jnp.float32)
 
-    d0, i0 = _min_dist_tiled(pc0, pc1, mask1, tile)
-    d1, i1 = _min_dist_tiled(pc1, pc0, mask0, tile)
-    d0 = jnp.where(mask0, d0, 0.0)
-    d1 = jnp.where(mask1, d1, 0.0)
+    fn = functools.partial(_chamfer_nn, tile=tile)
+    if batched:
+        d0, d1, i0, i1 = jax.vmap(fn)(pc0, pc1, mask0, mask1)
+    else:
+        d0, d1, i0, i1 = fn(pc0, pc1, mask0, mask1)
     if return_idx:
         return d0, d1, i0, i1
     return d0, d1

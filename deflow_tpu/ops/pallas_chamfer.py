@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 512    # query rows per grid step
-CHUNK_M = 512   # reference points processed per inner iteration
+TILE_N = 1024   # query rows per grid step
+CHUNK_M = 1024  # reference points processed per inner iteration
 _FAR = 1.0e6    # sentinel coordinate for masked reference points
 
 
@@ -68,10 +68,11 @@ def _chamfer_kernel(p_ref, qt_ref, out_ref):
     best0 = jnp.full((TILE_N, 1), 3.0e38, jnp.float32)
     bidx0 = jnp.zeros((TILE_N, 1), jnp.int32)
     best, bidx = jax.lax.fori_loop(0, m_pad // CHUNK_M, body, (best0, bidx0))
-    out = jnp.zeros((TILE_N, out_ref.shape[1]), jnp.float32)
-    out = out.at[:, 0:1].set(jnp.maximum(best, 0.0))
-    out = out.at[:, 1:2].set(bidx.astype(jnp.float32))
-    out_ref[:] = out
+    # single full-lane store (".at[].set" would lower to an unsupported
+    # scatter primitive in Mosaic)
+    pad = jnp.zeros((TILE_N, out_ref.shape[1] - 2), jnp.float32)
+    out_ref[:] = jnp.concatenate(
+        [jnp.maximum(best, 0.0), bidx.astype(jnp.float32), pad], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -57,6 +57,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.sorted_record.restype = None
         lib.sorted_record.argtypes = [f32p, i64, f32p, f32p, i32p,
                                       i32p, i32p, f32p]
+    if hasattr(lib, "gather_rows"):
+        vp = ctypes.c_void_p
+        lib.gather_rows.restype = None
+        lib.gather_rows.argtypes = [vp, i32p, i64, i64, vp]
     _LIB = lib
     return lib
 
@@ -118,6 +122,23 @@ def select_pad(
 def _pad_gather(a, sel, max_points, dtype):
     out = np.zeros((max_points,) + a.shape[1:], dtype)
     out[: len(sel)] = a[sel]
+    return out
+
+
+def permute_rows(a: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """``a[order]`` for 1-D/2-D arrays — C++/OpenMP row gather (GIL-free via
+    ctypes) with a numpy fallback.  Used by the sorted data pipeline, which
+    permutes ~10 per-point arrays per sample."""
+    lib = get_lib()
+    a = np.ascontiguousarray(a)
+    if lib is None or not hasattr(lib, "gather_rows") or a.ndim > 2:
+        return a[order]
+    order = np.ascontiguousarray(order, np.int32)
+    out = np.empty((len(order),) + a.shape[1:], a.dtype)
+    row_bytes = a.itemsize * (a.shape[1] if a.ndim == 2 else 1)
+    lib.gather_rows(a.ctypes.data_as(ctypes.c_void_p),
+                    _ptr(order, ctypes.c_int32), len(order), row_bytes,
+                    out.ctypes.data_as(ctypes.c_void_p))
     return out
 
 

@@ -188,6 +188,21 @@ def test_sorted_pipeline_train_step_equivalence():
         np.testing.assert_allclose(y, x, rtol=1e-4, atol=1e-6)
 
 
+def test_parallel_host_prep_matches_serial():
+    """num_workers>1 (threaded, GIL-free C++ per-sample work) must produce
+    byte-identical batches to the serial path."""
+    import copy
+
+    hb_a = _batch(seed=12, b=4, n=512)
+    hb_b = copy.deepcopy(hb_a)
+    rng_range = [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0]
+    attach_host_prep(hb_a, list(VOXEL), rng_range, sort=True, num_workers=0)
+    attach_host_prep(hb_b, list(VOXEL), rng_range, sort=True, num_workers=4)
+    assert set(hb_a) == set(hb_b)
+    for k in hb_a:
+        np.testing.assert_array_equal(hb_a[k], hb_b[k], err_msg=k)
+
+
 def test_sorted_record_semantics():
     """native.sorted_record (C++ and numpy fallback) returns the exact 9-lane
     PFN input: [xyz | p−centroid | p−center] in ascending-id order, invalid

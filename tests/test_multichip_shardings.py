@@ -1,0 +1,74 @@
+"""Multi-chip readiness: the full train step at batch_size=16 over the
+8-device mesh must compile+run with the batch axis PARTITIONED (not
+replicated) and parameters replicated — so the first real v5e-8 run is
+wiring-risk-free (VERDICT r1 #10; reference trains 8-GPU DDP,
+assets/slurm/1_train.sh)."""
+
+import numpy as np
+
+import jax
+
+from deflow_tpu.config import compose
+from deflow_tpu.data.host_prep import attach_host_prep
+from deflow_tpu.models import build_model
+from deflow_tpu import trainer as T
+
+VOXEL = [1.6, 1.6, 6.0]
+RANGE = [-51.2, -51.2, -3.0, 51.2, 51.2, 3.0]
+
+
+def _host_batch(b, n, seed=0):
+    rng = np.random.default_rng(seed)
+    pc = lambda: np.stack([
+        rng.uniform(-45, 45, (b, n)), rng.uniform(-45, 45, (b, n)),
+        rng.uniform(-2, 2, (b, n))], axis=-1).astype(np.float32)
+    pose0 = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+    pose1 = pose0.copy()
+    pose1[:, 0, 3] = 1.2
+    mask = np.ones((b, n), bool)
+    hb = {"pc0": pc(), "pc1": pc(), "pose0": pose0, "pose1": pose1,
+          "pc0_mask": mask, "pc1_mask": mask.copy(),
+          "flow": rng.normal(0, 0.1, (b, n, 3)).astype(np.float32),
+          "flow_is_valid": mask.copy(),
+          "flow_category_indices": rng.integers(0, 20, (b, n)).astype(np.int32)}
+    return attach_host_prep(hb, VOXEL, RANGE, sort=True)
+
+
+def test_bs16_train_step_partitions_batch_over_8_devices():
+    assert len(jax.devices()) >= 8, "conftest must provide the virtual mesh"
+    mesh = T.create_mesh(8)
+    b, n = 16, 1024
+    cfg = compose("config", [
+        f"batch_size={b}", f"max_points={n}",
+        "voxel_size=[1.6,1.6,6]", "model.target.grid_feature_size=[64,64]",
+        "model.target.num_iters=2", "precision=fp32",
+    ])
+    model = build_model(cfg.model, precision="fp32")
+    hb = _host_batch(b, n)
+
+    state = T.init_state(model, cfg, hb, seed=0)
+    state = jax.device_put(state, T.replicated(mesh))
+    step = T.jit_train_step(T.make_train_step(model, "deflowLoss"), mesh)
+    batch = T.device_batch(hb, mesh)
+
+    # the batch axis is PARTITIONED: each of 8 devices holds bs=2, and the
+    # device set covers the whole mesh (a replicated batch would show (16,…))
+    shards = batch["pc0"].addressable_shards
+    assert len(shards) == 8
+    assert {s.data.shape for s in shards} == {(2, n, 3)}
+    assert not batch["pc0"].sharding.is_fully_replicated
+
+    new_state, aux = step(state, batch)
+    loss = float(aux["loss"])
+    assert np.isfinite(loss)
+    # params (and their updates) stay replicated across the mesh
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+    # gradient all-reduce really averaged over the full global batch:
+    # loss/epe match a single-device run of the same global batch
+    state1 = T.init_state(model, cfg, hb, seed=0)
+    step1 = T.jit_train_step(T.make_train_step(model, "deflowLoss"), None)
+    _, aux1 = step1(state1, T.device_batch(hb, None))
+    np.testing.assert_allclose(loss, float(aux1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(aux["epe"]), float(aux1["epe"]), rtol=1e-5)

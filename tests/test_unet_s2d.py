@@ -1,0 +1,42 @@
+"""Space-to-depth conv1 == the plain k=8/s=2/p=3 conv, exactly."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deflow_tpu.models.unet import SpaceToDepthConv
+
+
+def test_s2d_conv_matches_plain_conv():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 64, 64, 32)).astype(np.float32)
+
+    s2d = SpaceToDepthConv(out_channels=64, in_channels=32)
+    variables = s2d.init(jax.random.key(0), jnp.asarray(x))
+    # randomize: lecun init is fine but make bias nonzero too
+    k = rng.normal(size=(8, 8, 32, 64)).astype(np.float32) * 0.05
+    b = rng.normal(size=(64,)).astype(np.float32)
+    variables = {"params": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}
+    got = np.asarray(s2d.apply(variables, jnp.asarray(x)))
+
+    plain = nn.Conv(64, (8, 8), strides=(2, 2), padding=((3, 3), (3, 3)))
+    want = np.asarray(plain.apply(
+        {"params": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}},
+        jnp.asarray(x)))
+    assert got.shape == want.shape == (2, 32, 32, 64)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_param_tree_matches_checkpoint_layout():
+    """The converter writes encoder_step_1/conv/kernel with torch's [8,8,C,O]
+    (transposed) shape — the s2d module must keep that exact tree."""
+    from deflow_tpu.models.unet import FastFlow3DUNet
+
+    unet = FastFlow3DUNet()
+    x = jnp.zeros((1, 32, 32, 32))
+    variables = unet.init(jax.random.key(0), x, x)
+    leaf = variables["params"]["encoder_step_1"]["conv"]["kernel"]
+    assert leaf.shape == (8, 8, 32, 64)
+    assert variables["params"]["encoder_step_1"]["conv"]["bias"].shape == (64,)

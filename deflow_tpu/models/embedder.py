@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from deflow_tpu.ops.voxel import (
+    TRASH_PAD,
     PillarInfo,
     VoxelConfig,
     _row_gather,
@@ -139,10 +140,10 @@ class DynamicEmbedder(nn.Module):
             if "order" in host:
                 plan = make_host_scatter_plan(
                     host["order"], host["sorted_id"], info.pillar_id,
-                    cfg.num_pillars + 1)
+                    cfg.num_pillars + TRASH_PAD)
             else:  # batch shipped presorted: ids ARE ascending, no permutes
                 plan = make_presorted_plan(
-                    host["sorted_id"], cfg.num_pillars + 1)
+                    host["sorted_id"], cfg.num_pillars + TRASH_PAD)
             if ("sorted_rec" in host and _use_pallas()
                     and self.scatter_mode != "max"):
                 # Fully sorted compute: the host shipped the point record in
@@ -156,7 +157,7 @@ class DynamicEmbedder(nn.Module):
             info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
             # one sort shared by the centroid and feature scatters (TPU path);
             # bf16 models run the (centered-coordinate) centroid scatter in bf16
-            plan = make_batched_scatter_plan(info.pillar_id, cfg.num_pillars + 1)
+            plan = make_batched_scatter_plan(info.pillar_id, cfg.num_pillars + TRASH_PAD)
         _, cluster = pillar_centroids_batched(
             info, cfg, plan, compute_dtype=self.dtype)
         feats9 = jnp.concatenate([info.points, cluster, info.offsets], axis=-1)
@@ -180,14 +181,14 @@ class DynamicEmbedder(nn.Module):
         feats9_s = host["sorted_rec"]
         ids_s = host["sorted_id"]
         valid_s = ids_s < cfg.num_pillars
-        pre = make_presorted_plan(ids_s, cfg.num_pillars + 1)
+        pre = make_presorted_plan(ids_s, cfg.num_pillars + TRASH_PAD)
 
         point_feats_s = pfn(feats9_s, valid_s, train)
 
         fdata = jnp.concatenate(
             [point_feats_s, valid_s.astype(point_feats_s.dtype)[..., None]],
             axis=-1)
-        fsums = segment_sum_batched(fdata, ids_s, cfg.num_pillars + 1, pre)
+        fsums = segment_sum_batched(fdata, ids_s, cfg.num_pillars + TRASH_PAD, pre)
         c = point_feats_s.shape[-1]
         h, w = cfg.pseudoimage_hw
         pillar_feats = (fsums[:, : cfg.num_pillars, :c]

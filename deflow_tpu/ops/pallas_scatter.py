@@ -139,11 +139,14 @@ def _pack(sorted_feats, sorted_pid, n, n_pad, c, c_pad):
     f32 slab: the id rides one lane (exact to 2^24).  bf16 slab: bf16 holds
     ints ≤ 256 exactly, so the id is decomposed into three base-128 digit
     lanes.  Either way the id lands at lane ``c`` when the digits fit inside
-    the same 128-lane block (the common case), else a separate LANE block."""
+    the same 128-lane block (the common case), else a separate LANE block.
+
+    Built with ONE lane-concatenate: ``.at[:, lane].set`` lowers to a full
+    [n_pad, 128] dynamic-update-slice pass PER LANE (~0.85 ms each at 524k
+    rows on v5e — measured as ~8 ms of pure slab rewrites per step)."""
     dtype = sorted_feats.dtype
     bf16 = dtype == jnp.bfloat16
     id_width = 3 if bf16 else 1
-    sf = jnp.pad(sorted_feats, ((0, n_pad - n), (0, c_pad - c)))
     pid32 = sorted_pid.astype(jnp.int32)
     if bf16:
         digits = [(pid32 // 16384).astype(dtype),
@@ -151,15 +154,16 @@ def _pack(sorted_feats, sorted_pid, n, n_pad, c, c_pad):
                   (pid32 % 128).astype(dtype)]
     else:
         digits = [pid32.astype(dtype)]
+    sf = jnp.pad(sorted_feats, ((0, n_pad - n), (0, 0)))
+    parts = [sf] + [d[:, None] for d in digits]
     if c + id_width <= c_pad and c_pad == LANE:
-        packed = sf
-        for j, d in enumerate(digits):
-            packed = packed.at[:, c + j].set(d)
-        return packed, c
-    id_block = jnp.zeros((n_pad, LANE), dtype)
-    for j, d in enumerate(digits):
-        id_block = id_block.at[:, j].set(d)
-    return jnp.concatenate([sf, id_block], axis=1), c_pad
+        tail = c_pad - c - id_width
+        if tail:
+            parts.append(jnp.zeros((n_pad, tail), dtype))
+        return jnp.concatenate(parts, axis=1), c
+    parts.insert(1, jnp.zeros((n_pad, c_pad - c), dtype))
+    parts.append(jnp.zeros((n_pad, LANE - id_width), dtype))
+    return jnp.concatenate(parts, axis=1), c_pad
 
 
 @functools.partial(jax.jit, static_argnames=("num_pillars", "c_pad", "id_lane"))

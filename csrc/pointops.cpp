@@ -122,12 +122,38 @@ void sort_by_id(const int32_t* ids, int64_t n, int64_t num_buckets,
     }
 }
 
+// Pillar id conventions (must mirror ops/voxel.py encode_pillar_id):
+// s2d (even grids): id = ((cy>>1)*(W/2) + (cx>>1))*4 + (cy&1)*2 + (cx&1) —
+// the flat pillar table then bitcasts to the phase-folded pseudoimage.
+// row-major otherwise: id = cy*W + cx.
+static inline int32_t encode_id(int32_t cx, int32_t cy, const int32_t* grid,
+                                int32_t s2d) {
+    if (s2d)
+        return (((cy >> 1) * (grid[0] >> 1) + (cx >> 1)) << 2)
+               + ((cy & 1) << 1) + (cx & 1);
+    return cy * grid[0] + cx;
+}
+
+static inline void decode_id(int32_t id, const int32_t* grid, int32_t s2d,
+                             int32_t* cx, int32_t* cy) {
+    if (s2d) {
+        const int32_t ph = id & 3;
+        const int32_t cell = id >> 2;
+        *cy = (cell / (grid[0] >> 1)) * 2 + (ph >> 1);
+        *cx = (cell % (grid[0] >> 1)) * 2 + (ph & 1);
+    } else {
+        *cy = id / grid[0];
+        *cx = id % grid[0];
+    }
+}
+
 // Fused host-side pillar prep for one padded cloud: bin (f32, matching the
 // device semantics bit-for-bit is NOT required — these ids ARE the source of
 // truth, the device consumes them), route invalid/padding to the trash id,
 // then stable-sort.  pts [n,3] (padded slots arbitrary), mask [n].
 void pillar_prep(const float* pts, const uint8_t* mask, int64_t n,
                  const float* vmin, const float* vsize, const int32_t* grid,
+                 int32_t s2d,
                  int32_t* pillar_id, int32_t* order, int32_t* iperm,
                  int32_t* sorted_ids) {
     const int64_t trash = (int64_t)grid[0] * grid[1];
@@ -141,7 +167,7 @@ void pillar_prep(const float* pts, const uint8_t* mask, int64_t n,
             if (!(v >= 0.0f) || !(v < (float)grid[a])) { ok = 0; break; }
             c[a] = (int32_t)v;
         }
-        pillar_id[i] = ok ? c[1] * grid[0] + c[0] : (int32_t)trash;
+        pillar_id[i] = ok ? encode_id(c[0], c[1], grid, s2d) : (int32_t)trash;
     }
     sort_by_id(pillar_id, n, trash, order, iperm, sorted_ids);
 }
@@ -166,6 +192,7 @@ void gather_rows(const void* src, const int32_t* order, int64_t n,
 // entirely.  Two linear passes over the sorted runs.
 void sorted_record(const float* pts, int64_t n,
                    const float* vmin, const float* vsize, const int32_t* grid,
+                   int32_t s2d,
                    const int32_t* order, const int32_t* sorted_ids,
                    float* rec /* [n, 9] */) {
     const int32_t trash = grid[0] * grid[1];
@@ -186,8 +213,10 @@ void sorted_record(const float* pts, int64_t n,
         const double inv = 1.0 / (double)(j - i);
         const float cx = (float)(sx * inv), cy = (float)(sy * inv),
                     cz = (float)(sz * inv);
-        const float ctr_x = ((float)(sid % grid[0]) + 0.5f) * vsize[0] + vmin[0];
-        const float ctr_y = ((float)(sid / grid[0]) + 0.5f) * vsize[1] + vmin[1];
+        int32_t gx, gy;
+        decode_id(sid, grid, s2d, &gx, &gy);
+        const float ctr_x = ((float)gx + 0.5f) * vsize[0] + vmin[0];
+        const float ctr_y = ((float)gy + 0.5f) * vsize[1] + vmin[1];
         for (int64_t k = i; k < j; ++k) {
             const float* p = pts + (int64_t)order[k] * 3;
             float zb = std::floor((p[2] - vmin[2]) / vsize[2]);

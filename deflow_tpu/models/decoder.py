@@ -32,15 +32,17 @@ from deflow_tpu.ops.voxel import (
 
 
 def gather_voxel_features(
-    before_img: jnp.ndarray, after_img: jnp.ndarray, info: PillarInfo,
+    before_tab: jnp.ndarray, after_tab: jnp.ndarray, info: PillarInfo,
     plan=None,
 ) -> jnp.ndarray:
-    """Batched unpillar gather: [B,H,W,C]×2 + PillarInfo → [B, N, 2C].
+    """Batched unpillar gather: flat pillar tables [B,P,C]×2 + PillarInfo →
+    [B, N, 2C].
 
-    Gathering both images as one concatenated [B,H,W,2C] tensor halves the
-    gather count, and ``plan`` routes the backward scatter through the Pallas
-    kernel (ops/voxel.py)."""
-    both = jnp.concatenate([before_img, after_img], axis=-1)
+    The model converts pseudoimages to id-ordered tables via
+    ``ops.voxel.image_to_table`` (a pure reshape in either layout).  Gathering
+    both tables as one concatenated [B,P,2C] tensor halves the gather count,
+    and ``plan`` routes the backward scatter through the Pallas kernel."""
+    both = jnp.concatenate([before_tab, after_tab], axis=-1)
     return pseudoimage_gather_batched(both, info, plan)
 
 

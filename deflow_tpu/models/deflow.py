@@ -35,7 +35,7 @@ from deflow_tpu.models.decoder import ConvGRUDecoder, LinearDecoder, MMHeadDecod
 from deflow_tpu.models.embedder import DynamicEmbedder
 from deflow_tpu.models.unet import FastFlow3DUNet
 from deflow_tpu.ops.pose import cal_pose0to1, transform_points
-from deflow_tpu.ops.voxel import VoxelConfig
+from deflow_tpu.ops.voxel import VoxelConfig, image_to_table
 
 
 class DeFlow(nn.Module):
@@ -61,7 +61,8 @@ class DeFlow(nn.Module):
             voxel_cfg=cfg, feat_channels=self.feat_channels, dtype=self.dtype,
             name="embedder",
         )
-        self.backbone = FastFlow3DUNet(dtype=self.dtype, name="backbone")
+        self.backbone = FastFlow3DUNet(dtype=self.dtype, s2d=cfg.use_s2d,
+                                       name="backbone")
         if self.decoder_option == "gru":
             self.head = ConvGRUDecoder(
                 num_iters=self.num_iters, dtype=self.dtype, name="head"
@@ -121,8 +122,13 @@ class DeFlow(nn.Module):
             pc1.astype(jnp.float32), pc1_mask, train, host=host_for("pc1"))
 
         grid_flow_img = self.backbone(img0, img1, train)
-        before_img = jnp.concatenate([img0, img1], axis=-1)
-        flow = self.head(before_img, grid_flow_img, info0, plan0, train)
+        # flat id-ordered pillar tables for the per-point heads (pure
+        # reshapes under either image layout; rows = pillar ids)
+        before_tab = jnp.concatenate(
+            [image_to_table(img0, self.voxel_cfg),
+             image_to_table(img1, self.voxel_cfg)], axis=-1)
+        flow_tab = image_to_table(grid_flow_img, self.voxel_cfg)
+        flow = self.head(before_tab, flow_tab, info0, plan0, train)
 
         return {
             "flow": flow.astype(jnp.float32),

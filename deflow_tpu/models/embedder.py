@@ -34,6 +34,7 @@ from deflow_tpu.ops.voxel import (
     PillarInfo,
     VoxelConfig,
     _row_gather,
+    _table_to_image,
     _use_pallas,
     compute_pillar_info,
     make_batched_scatter_plan,
@@ -190,7 +191,6 @@ class DynamicEmbedder(nn.Module):
             axis=-1)
         fsums = segment_sum_batched(fdata, ids_s, cfg.num_pillars + TRASH_PAD, pre)
         c = point_feats_s.shape[-1]
-        h, w = cfg.pseudoimage_hw
         pillar_feats = (fsums[:, : cfg.num_pillars, :c]
                         / jnp.maximum(fsums[:, : cfg.num_pillars, c:], 1.0))
-        return pillar_feats.reshape(b, h, w, c)
+        return _table_to_image(pillar_feats, cfg)

@@ -42,11 +42,15 @@ class SpaceToDepthConv(nn.Module):
     [8, 8, C, O]; the k'=5 rearrangement is a pure weight reshape at apply
     time (exact: every tap maps to one phase slot, out-of-range taps hit
     zero-padded weight rows).
+
+    ``pre_folded=True``: the input already arrives phase-folded
+    [B, H/2, W/2, 4C] (the s2d pillar-id pipeline) — no in-graph transpose.
     """
 
     out_channels: int
     in_channels: int
     dtype: Any = jnp.float32
+    pre_folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,11 +61,15 @@ class SpaceToDepthConv(nn.Module):
             (8, 8, c, o))
         bias = self.param("bias", nn.initializers.zeros, (o,))
 
-        b, h, w, _ = x.shape
-        assert h % 2 == 0 and w % 2 == 0, "space-to-depth needs even H, W"
-        # x[., 2i+dh, 2j+dw, c] -> y[., i, j, (dh, dw, c)]
-        y = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-        y = y.reshape(b, h // 2, w // 2, 4 * c).astype(self.dtype)
+        if self.pre_folded:
+            assert x.shape[-1] == 4 * c, (x.shape, c)
+            y = x.astype(self.dtype)
+        else:
+            b, h, w, _ = x.shape
+            assert h % 2 == 0 and w % 2 == 0, "space-to-depth needs even H, W"
+            # x[., 2i+dh, 2j+dw, c] -> y[., i, j, (dh, dw, c)]
+            y = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+            y = y.reshape(b, h // 2, w // 2, 4 * c).astype(self.dtype)
 
         # original tap u relates to phase dh and s2d tap m by u = 2m + dh - 1
         # + 3 = 2(m+2) + dh - ... : with wp = pad(W, 1 each side on kh/kw),
@@ -74,6 +82,144 @@ class SpaceToDepthConv(nn.Module):
             y, w2, window_strides=(1, 1), padding=((2, 2), (2, 2)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return out + bias.astype(out.dtype)
+
+
+def _phase_split(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H2, W2, 4C] → [B, H2, W2, 4, C] (phase-major channel layout)."""
+    b, h2, w2, mc = x.shape
+    return x.reshape(b, h2, w2, 4, mc // 4)
+
+
+def _phase_merge(x: jnp.ndarray) -> jnp.ndarray:
+    return x.reshape(x.shape[:3] + (x.shape[3] * x.shape[4],))
+
+
+class _PhaseDense(nn.Module):
+    """1x1 conv applied identically to every phase of a phase-folded image.
+
+    1x1 convs commute with space-to-depth exactly; the parameter keeps the
+    plain [1, 1, C_in, C_out] checkpoint shape."""
+
+    out_channels: int
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H2,W2,4,Cin]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
+            (1, 1, self.in_channels, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        y = jnp.einsum("bhwpc,co->bhwpo", x.astype(self.dtype),
+                       kernel[0, 0].astype(self.dtype))
+        return y + bias.astype(y.dtype)
+
+
+# bilinear 2x (align_corners=False) phase weights over input taps m=-1,0,+1:
+# output pixel 2i+d samples input position i + (2d-1)/4
+_BILIN = ((0.25, 0.75, 0.0), (0.0, 0.75, 0.25))
+
+
+class _UpsampleConvS2D(nn.Module):
+    """Fused [2x bilinear upsample → 1x1 conv], emitting the phase-folded
+    (s2d) result directly: one k=3 stride-1 conv at the SOURCE resolution
+    whose kernel is the outer product of the fixed bilinear phase weights
+    with the 1x1 conv weight.  Edge-replicate padding reproduces torch's
+    align_corners=False boundary clamping exactly."""
+
+    out_channels: int
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H2,W2,Cin]
+        cin, cout = self.in_channels, self.out_channels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
+            (1, 1, cin, cout))
+        bias = self.param("bias", nn.initializers.zeros, (cout,))
+        bw = jnp.asarray(_BILIN, self.dtype)  # [2 phases, 3 taps]
+        # fused[di, dj, c, (dh, dw, o)] = bw[dh, di] bw[dw, dj] W[c, o]
+        fused = jnp.einsum("hi,wj,co->ijchwo",
+                           bw, bw, kernel[0, 0].astype(self.dtype))
+        fused = fused.reshape(3, 3, cin, 4 * cout)
+        xe = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     mode="edge")
+        y = jax.lax.conv_general_dilated(
+            xe, fused, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return _phase_split(y) + bias.astype(y.dtype)
+
+
+class UpsampleSkipS2D(nn.Module):
+    """``UpsampleSkip`` with the 512²-resolution half computed phase-folded:
+    u1 runs at the source scale, u2 fuses the bilinear upsample, u3/u4/u5 are
+    per-phase 1x1s on the s2d skip.  Parameter tree and checkpoint shapes
+    identical to :class:`UpsampleSkip`."""
+
+    skip_channels: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b_s2d: jnp.ndarray) -> jnp.ndarray:
+        c = self.skip_channels
+        u1 = nn.Conv(c // 4, (1, 1), dtype=self.dtype, name="u1")(a)
+        u2 = _UpsampleConvS2D(c // 8, c // 4, dtype=self.dtype, name="u2")(u1)
+        bp = _phase_split(b_s2d)
+        u3 = _PhaseDense(c // 8, bp.shape[-1], dtype=self.dtype, name="u3")(bp)
+        cat = jnp.concatenate([u2, u3], axis=-1)
+        u4 = _PhaseDense(c // 8, c // 4, dtype=self.dtype, name="u4")(cat)
+        u5 = _PhaseDense(self.out_channels, c // 8, dtype=self.dtype,
+                         name="u5")(u4)
+        return _phase_merge(u5)
+
+
+class Conv3x3S2D(nn.Module):
+    """3x3 / s=1 / p=1 conv evaluated phase-folded: a structured k=3 conv on
+    4C channels whose kernel is rearranged in-graph from the plain
+    [3, 3, C, O] checkpoint parameter.
+
+    Derivation: out[2i+oh] = Σ_u W[u] x[2i+oh+u-1]; writing the input row as
+    2(i+m)+dh gives u = 2m + dh - oh + 1, zero where u falls outside [0, 3).
+    """
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.channels
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
+            (3, 3, c, c))
+        self.bias = self.param("bias", nn.initializers.zeros, (c,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B,H2,W2,4C]
+        import numpy as np
+
+        c = self.channels
+        # u = 2m + dh - oh + 1 ranges over [-2, 4]; wp[u+2] == W[u] with zero
+        # rows wherever u falls outside [0, 3)
+        wp = jnp.pad(self.kernel.astype(self.dtype),
+                     ((2, 2), (2, 2), (0, 0), (0, 0)))
+        m = np.arange(3)[:, None, None] - 1
+        dh = np.arange(2)[None, :, None]
+        oh = np.arange(2)[None, None, :]
+        u = 2 * m + dh - oh + 1 + 2           # [3(tap), 2(in ph), 2(out ph)]
+        # big[a, dh, oh, aw, dw, ow, cin, cout]
+        big = wp[u[:, :, :, None, None, None], u[None, None, None]]
+        # → [a, aw, (dh, dw, cin), (oh, ow, cout)]
+        big = big.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+        fused = big.reshape(3, 3, 4 * c, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), fused, window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bias4 = jnp.tile(self.bias.astype(y.dtype), 4)
+        return y + bias4
 
 
 class ConvWithNorms(nn.Module):
@@ -91,13 +237,15 @@ class ConvWithNorms(nn.Module):
     padding: int
     dtype: Any = jnp.float32
     space_to_depth: bool = False
+    s2d_input: bool = False  # input arrives already phase-folded
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.space_to_depth:
             assert (self.kernel_size, self.stride, self.padding) == (8, 2, 3)
-            x = SpaceToDepthConv(self.out_channels, x.shape[-1],
-                                 dtype=self.dtype, name="conv")(x)
+            cin = x.shape[-1] // 4 if self.s2d_input else x.shape[-1]
+            x = SpaceToDepthConv(self.out_channels, cin, dtype=self.dtype,
+                                 pre_folded=self.s2d_input, name="conv")(x)
         else:
             x = nn.Conv(
                 self.out_channels,
@@ -151,12 +299,19 @@ class UpsampleSkip(nn.Module):
 class FastFlow3DUNet(nn.Module):
     """Siamese encoder + pair-concat skip decoder (reference deflow.py:32,87-88).
 
-    Takes the two 32-ch pseudoimages [B, H, W, 32] and returns the 64-ch flow
-    pseudoimage [B, H, W, 64].  The encoder weights are shared between pc0 and
-    pc1 (one set of ``encoder_step_*`` modules applied twice).
+    Takes the two 32-ch pseudoimages and returns the 64-ch flow pseudoimage.
+    The encoder weights are shared between pc0 and pc1 (one set of
+    ``encoder_step_*`` modules applied twice).
+
+    ``s2d=True`` (the voxel pipeline's default on even grids): inputs and
+    output are phase-folded [B, H/2, W/2, 4C].  The full-resolution stem and
+    decoder tail then run at 256² with 4x channels — no 512² tensor exists
+    anywhere in the graph.  Parameter tree and checkpoint shapes are
+    IDENTICAL in both modes (all rearrangement happens at apply time).
     """
 
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     def setup(self):
         cwn = lambda c, k, s, p, name: ConvWithNorms(
@@ -164,7 +319,7 @@ class FastFlow3DUNet(nn.Module):
         )
         self.encoder_step_1 = ConvWithNorms(
             64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
-            name="encoder_step_1")
+            s2d_input=self.s2d, name="encoder_step_1")
         self.encoder_step_2 = cwn(64, 3, 1, 1, "encoder_step_2")
         self.encoder_step_3 = cwn(64, 3, 1, 1, "encoder_step_3")
         self.encoder_step_4 = cwn(64, 3, 1, 1, "encoder_step_4")
@@ -177,10 +332,17 @@ class FastFlow3DUNet(nn.Module):
 
         self.decoder_step1 = UpsampleSkip(512, 256, dtype=self.dtype, name="decoder_step1")
         self.decoder_step2 = UpsampleSkip(256, 128, dtype=self.dtype, name="decoder_step2")
-        self.decoder_step3 = UpsampleSkip(128, 64, dtype=self.dtype, name="decoder_step3")
-        self.decoder_step4 = nn.Conv(
-            64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="decoder_step4"
-        )
+        if self.s2d:
+            self.decoder_step3 = UpsampleSkipS2D(
+                128, 64, dtype=self.dtype, name="decoder_step3")
+            self.decoder_step4 = Conv3x3S2D(
+                64, dtype=self.dtype, name="decoder_step4")
+        else:
+            self.decoder_step3 = UpsampleSkip(
+                128, 64, dtype=self.dtype, name="decoder_step3")
+            self.decoder_step4 = nn.Conv(
+                64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                name="decoder_step4")
 
     def _encode(
         self, x: jnp.ndarray, train: bool
@@ -211,7 +373,12 @@ class FastFlow3DUNet(nn.Module):
         t_star = pair(t_all)                                        # 512
         r_star = pair(r_all)                                        # 256
         n_star = pair(n_all)                                        # 128
-        b_star = jnp.concatenate([pc0_img, pc1_img], axis=-1)       # 64
+        if self.s2d:
+            # phase-wise pair concat: channel layout stays (phase, feature)
+            b_star = _phase_merge(jnp.concatenate(
+                [_phase_split(pc0_img), _phase_split(pc1_img)], axis=-1))
+        else:
+            b_star = jnp.concatenate([pc0_img, pc1_img], axis=-1)   # 64
 
         s = self.decoder_step1(t_star, r_star)
         l = self.decoder_step2(s, n_star)

@@ -72,6 +72,49 @@ class VoxelConfig:
         w, h, _ = self.grid_size
         return (h, w)
 
+    @property
+    def use_s2d(self) -> bool:
+        """Space-to-depth pillar-id order (the default on even grids).
+
+        Pillar id of cell (y, x) = ((y>>1)·(W/2) + (x>>1))·4 + (y&1)·2+(x&1):
+        the flat [num_pillars, C] pillar table then reshapes to the
+        2x2-phase-folded pseudoimage [H/2, W/2, 4C] as a pure bitcast — no
+        512² tensor or relayout ever exists on the device (the whole UNet
+        stem/tail runs phase-folded).  Odd grids fall back to row-major.
+        """
+        w, h, _ = self.grid_size
+        return w % 2 == 0 and h % 2 == 0
+
+    @property
+    def image_shape(self) -> Tuple[int, int, int]:
+        """Pseudoimage shape per sample for C feature channels = (ih, iw, m)
+        where the image is [ih, iw, m*C]."""
+        h, w = self.pseudoimage_hw
+        if self.use_s2d:
+            return (h // 2, w // 2, 4)
+        return (h, w, 1)
+
+
+def encode_pillar_id(cy: jnp.ndarray, cx: jnp.ndarray, cfg: VoxelConfig):
+    """Cell coords → pillar id under the config's id order."""
+    w, h, _ = cfg.grid_size
+    if cfg.use_s2d:
+        cell = (cy // 2) * (w // 2) + cx // 2
+        return cell * 4 + (cy % 2) * 2 + (cx % 2)
+    return cy * w + cx
+
+
+def decode_pillar_id(pid: jnp.ndarray, cfg: VoxelConfig):
+    """Pillar id → (cy, cx) under the config's id order."""
+    w, h, _ = cfg.grid_size
+    if cfg.use_s2d:
+        ph = pid % 4
+        cell = pid // 4
+        cy = (cell // (w // 2)) * 2 + ph // 2
+        cx = (cell % (w // 2)) * 2 + ph % 2
+        return cy, cx
+    return pid // w, pid % w
+
 
 class PillarInfo(NamedTuple):
     """Per-point pillar assignment for one sample (all arrays length N).
@@ -115,7 +158,8 @@ def compute_pillar_info(
     cx = jnp.clip(coords[:, 0], 0, w - 1)
     cy = jnp.clip(coords[:, 1], 0, h - 1)
     cz = jnp.clip(coords[:, 2], 0, d - 1)
-    pillar_id = jnp.where(in_range, cy * w + cx, cfg.num_pillars).astype(jnp.int32)
+    pillar_id = jnp.where(in_range, encode_pillar_id(cy, cx, cfg),
+                          cfg.num_pillars).astype(jnp.int32)
 
     center = (jnp.stack([cx, cy, cz], axis=-1).astype(points.dtype) + 0.5) * vsz + lo
     offsets = jnp.where(in_range[:, None], safe_points - center, 0.0)
@@ -144,8 +188,7 @@ def pillar_info_from_ids(
 
     valid = mask & (ids < cfg.num_pillars)
     safe_ids = jnp.where(valid, ids, 0)
-    cy = safe_ids // w
-    cx = safe_ids % w
+    cy, cx = decode_pillar_id(safe_ids, cfg)
     safe_points = jnp.where(valid[:, None], points, 0.0)
     cz = jnp.clip(
         jnp.floor((safe_points[:, 2] - lo[2])
@@ -288,16 +331,36 @@ def pillar_centroids(
     return per_point_count, cluster
 
 
+def _table_to_image(pillar_feats: jnp.ndarray, cfg: VoxelConfig) -> jnp.ndarray:
+    """Flat id-ordered [num_pillars, C] table → pseudoimage.
+
+    s2d id order: a pure reshape to the phase-folded [H/2, W/2, 4C] image
+    (rows are cell-major, phase-minor by construction) — no 512² tensor or
+    transpose ever materializes.  Row-major order: classic [H, W, C]."""
+    ih, iw, m = cfg.image_shape
+    c = pillar_feats.shape[-1]
+    return pillar_feats.reshape(
+        pillar_feats.shape[:-2] + (ih, iw, m * c))
+
+
+def image_to_table(image: jnp.ndarray, cfg: VoxelConfig) -> jnp.ndarray:
+    """Pseudoimage (s2d or row-major per cfg) → flat id-ordered [..., P, C]
+    pillar table — the inverse of :func:`_table_to_image`, also reshape-only."""
+    ih, iw, m = cfg.image_shape
+    c = image.shape[-1] // m
+    return image.reshape(image.shape[:-3] + (ih * iw * m, c))
+
+
 def pillar_mean_scatter(
     feats: jnp.ndarray, info: PillarInfo, cfg: VoxelConfig
 ) -> jnp.ndarray:
-    """Average per-point features into the [H, W, C] pseudoimage.
+    """Average per-point features into the pseudoimage (``cfg.image_shape``
+    layout — phase-folded [H/2, W/2, 4C] on even grids).
 
     The TPU equivalent of mmcv ``DynamicScatter(mode='avg')`` +
     ``PointPillarsScatter`` (SURVEY.md §2.3 native component #1).  Empty
     pillars are exact zeros, matching the scatter-into-zeros semantics.
     """
-    h, w = cfg.pseudoimage_hw
     c = feats.shape[-1]
     feats = jnp.where(info.valid[:, None], feats, 0.0)
     ones = info.valid.astype(feats.dtype)
@@ -306,7 +369,7 @@ def pillar_mean_scatter(
     pillar_feats = sums[: cfg.num_pillars, :c] / jnp.maximum(
         sums[: cfg.num_pillars, c:], 1.0
     )
-    return pillar_feats.reshape(h, w, c)
+    return _table_to_image(pillar_feats, cfg)
 
 
 def _row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -347,8 +410,7 @@ def pillar_centroids_batched(
 def pillar_mean_scatter_batched(
     feats: jnp.ndarray, info: PillarInfo, cfg: VoxelConfig, plan=None
 ) -> jnp.ndarray:
-    """Batched ``pillar_mean_scatter``: [B, N, C] → [B, H, W, C]."""
-    h, w = cfg.pseudoimage_hw
+    """Batched ``pillar_mean_scatter``: [B, N, C] → pseudoimage batch."""
     b, _, c = feats.shape
     feats = jnp.where(info.valid[..., None], feats, 0.0)
     ones = info.valid.astype(feats.dtype)
@@ -356,21 +418,19 @@ def pillar_mean_scatter_batched(
     sums = segment_sum_batched(data, info.pillar_id, cfg.num_pillars + TRASH_PAD, plan)
     pillar_feats = sums[:, : cfg.num_pillars, :c] / jnp.maximum(
         sums[:, : cfg.num_pillars, c:], 1.0)
-    return pillar_feats.reshape(b, h, w, c)
+    return _table_to_image(pillar_feats, cfg)
 
 
 def pillar_max_scatter(
     feats: jnp.ndarray, info: PillarInfo, cfg: VoxelConfig
 ) -> jnp.ndarray:
-    """Max-reduce per-point features into the [H, W, C] pseudoimage.
+    """Max-reduce per-point features into the pseudoimage (cfg layout).
 
     The ``DynamicScatter(mode='max')`` variant.  Empty pillars are exact zeros
     (matching scatter-into-zero-canvas semantics); gradients flow to the
     argmax point per pillar (``segment_max``'s subgradient), matching
     torch_scatter/mmcv behavior.
     """
-    h, w = cfg.pseudoimage_hw
-    c = feats.shape[-1]
     neg = jnp.asarray(-3.0e38, feats.dtype)
     masked = jnp.where(info.valid[:, None], feats, neg)
     maxed = jax.ops.segment_max(
@@ -380,22 +440,21 @@ def pillar_max_scatter(
         info.valid.astype(feats.dtype), info.pillar_id, cfg.num_pillars + TRASH_PAD
     )[: cfg.num_pillars]
     maxed = jnp.where(counts[:, None] > 0, maxed, 0.0)
-    return maxed.reshape(h, w, c)
+    return _table_to_image(maxed, cfg)
 
 
 def pseudoimage_gather(
-    image: jnp.ndarray, coords_yx: jnp.ndarray, valid: jnp.ndarray
+    table: jnp.ndarray, pillar_id: jnp.ndarray, valid: jnp.ndarray
 ) -> jnp.ndarray:
-    """Gather per-point features from an [H, W, C] pseudoimage ("unpillar").
+    """Gather per-point features from a flat id-ordered [P, C] pillar table
+    ("unpillar").
 
     The static-shape form of the reference's advanced indexing
     ``pseudoimage[:, vc[:, 1], vc[:, 2]].T`` (decoder.py:34-37); invalid slots
-    read as zeros.
+    read as zeros.  Pass an image through :func:`image_to_table` first.
     """
-    h, w, c = image.shape
-    flat = image.reshape(h * w, c)
-    idx = coords_yx[:, 0] * w + coords_yx[:, 1]
-    out = flat[jnp.clip(idx, 0, h * w - 1)]
+    p = table.shape[0]
+    out = table[jnp.clip(pillar_id, 0, p - 1)]
     return jnp.where(valid[:, None], out, 0.0)
 
 
@@ -445,16 +504,14 @@ _gather_planned.defvjp(_gather_planned_fwd, _gather_planned_bwd)
 
 
 def pseudoimage_gather_batched(
-    image: jnp.ndarray, info: PillarInfo, plan=None
+    table: jnp.ndarray, info: PillarInfo, plan=None
 ) -> jnp.ndarray:
-    """Batched unpillar gather [B, H, W, C] → [B, N, C].
+    """Batched unpillar gather from flat pillar tables [B, P, C] → [B, N, C].
 
     With ``plan`` (the embedder's ScatterPlan over ``num_pillars + TRASH_PAD``
     segments) the backward scatter runs through the Pallas kernel; without it
     the plain XLA VJP applies.
     """
-    b, h, w, c = image.shape
-    flat = image.reshape(b, h * w, c)
     if plan is None:
-        return jax.vmap(pseudoimage_gather)(image, info.coords_yx, info.valid)
-    return _gather_planned(flat, info.pillar_id, info.valid, plan)
+        return jax.vmap(pseudoimage_gather)(table, info.pillar_id, info.valid)
+    return _gather_planned(table, info.pillar_id, info.valid, plan)

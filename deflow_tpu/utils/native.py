@@ -50,12 +50,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.se3_transform.argtypes = [f32p, f64p, i64, f32p]
     lib.bin_points.restype = None
     lib.bin_points.argtypes = [f32p, i64, f32p, f32p, i32p, i32p, u8p]
+    i32 = ctypes.c_int32
     lib.pillar_prep.restype = None
-    lib.pillar_prep.argtypes = [f32p, u8p, i64, f32p, f32p, i32p,
+    lib.pillar_prep.argtypes = [f32p, u8p, i64, f32p, f32p, i32p, i32,
                                 i32p, i32p, i32p, i32p]
     if hasattr(lib, "sorted_record"):
         lib.sorted_record.restype = None
-        lib.sorted_record.argtypes = [f32p, i64, f32p, f32p, i32p,
+        lib.sorted_record.argtypes = [f32p, i64, f32p, f32p, i32p, i32,
                                       i32p, i32p, f32p]
     if hasattr(lib, "gather_rows"):
         vp = ctypes.c_void_p
@@ -174,18 +175,41 @@ def bin_points(pts: np.ndarray, vmin, vsize, grid) -> Tuple[np.ndarray, np.ndarr
     return coords, ok.astype(bool)
 
 
+def _use_s2d(grid) -> bool:
+    """s2d pillar-id order on even grids (mirrors VoxelConfig.use_s2d)."""
+    return int(grid[0]) % 2 == 0 and int(grid[1]) % 2 == 0
+
+
+def _encode_ids_np(cx, cy, grid):
+    if _use_s2d(grid):
+        cell = (cy >> 1) * (int(grid[0]) // 2) + (cx >> 1)
+        return cell * 4 + (cy & 1) * 2 + (cx & 1)
+    return cy * int(grid[0]) + cx
+
+
+def _decode_ids_np(pid, grid):
+    if _use_s2d(grid):
+        ph = pid % 4
+        cell = pid // 4
+        w2 = int(grid[0]) // 2
+        return (cell % w2) * 2 + ph % 2, (cell // w2) * 2 + ph // 2
+    return pid % int(grid[0]), pid // int(grid[0])
+
+
 def pillar_prep(pts: np.ndarray, mask: np.ndarray, vmin, vsize, grid):
     """Host-side pillar prep for one padded cloud: bin + stable sort.
 
     Returns (pillar_id [N], order [N], iperm [N], sorted_id [N]) int32 —
     the ragged bookkeeping the device would otherwise spend two argsorts on.
-    Invalid/padding points carry the trash id ``grid[0]*grid[1]``.
+    Invalid/padding points carry the trash id ``grid[0]*grid[1]``; ids use
+    the s2d order on even grids (ops/voxel.py encode_pillar_id).
     """
     pts = np.ascontiguousarray(pts[:, :3], np.float32)
     mask_c = np.ascontiguousarray(mask, np.uint8)
     n = len(pts)
     grid = np.ascontiguousarray(grid, np.int32)
     trash = int(grid[0]) * int(grid[1])
+    s2d = int(_use_s2d(grid))
     lib = get_lib()
     if lib is None:
         vmin = np.asarray(vmin, np.float32)
@@ -194,7 +218,8 @@ def pillar_prep(pts: np.ndarray, mask: np.ndarray, vmin, vsize, grid):
         ok = mask.astype(bool) & np.isfinite(pts).all(1) & (
             (rel >= 0) & (rel < grid)).all(1)
         c = np.where(ok[:, None], rel, 0).astype(np.int64)
-        pid = np.where(ok, c[:, 1] * grid[0] + c[:, 0], trash).astype(np.int32)
+        pid = np.where(ok, _encode_ids_np(c[:, 0], c[:, 1], grid),
+                       trash).astype(np.int32)
         order = np.argsort(pid, kind="stable").astype(np.int32)
         iperm = np.empty_like(order)
         iperm[order] = np.arange(n, dtype=np.int32)
@@ -208,7 +233,7 @@ def pillar_prep(pts: np.ndarray, mask: np.ndarray, vmin, vsize, grid):
         _ptr(pts, ctypes.c_float), _ptr(mask_c, ctypes.c_uint8), n,
         _ptr(np.ascontiguousarray(vmin, np.float32), ctypes.c_float),
         _ptr(np.ascontiguousarray(vsize, np.float32), ctypes.c_float),
-        _ptr(grid, ctypes.c_int32),
+        _ptr(grid, ctypes.c_int32), s2d,
         _ptr(pid, ctypes.c_int32), _ptr(order, ctypes.c_int32),
         _ptr(iperm, ctypes.c_int32), _ptr(sorted_id, ctypes.c_int32))
     return pid, order, iperm, sorted_id
@@ -232,7 +257,7 @@ def sorted_record(pts: np.ndarray, order: np.ndarray, sorted_id: np.ndarray,
             _ptr(pts, ctypes.c_float), n,
             _ptr(np.ascontiguousarray(vmin), ctypes.c_float),
             _ptr(np.ascontiguousarray(vsize), ctypes.c_float),
-            _ptr(grid, ctypes.c_int32),
+            _ptr(grid, ctypes.c_int32), int(_use_s2d(grid)),
             _ptr(np.ascontiguousarray(order, np.int32), ctypes.c_int32),
             _ptr(np.ascontiguousarray(sorted_id, np.int32), ctypes.c_int32),
             _ptr(rec, ctypes.c_float))
@@ -247,8 +272,9 @@ def sorted_record(pts: np.ndarray, order: np.ndarray, sorted_id: np.ndarray,
                     minlength=trash) for a in range(3)], axis=-1)
     cent /= np.maximum(counts, 1.0)[:, None]
     cluster = pts_s - cent[safe_id]
-    cx = (safe_id % grid[0]).astype(np.float32)
-    cy = (safe_id // grid[0]).astype(np.float32)
+    gx, gy = _decode_ids_np(safe_id, grid)
+    cx = gx.astype(np.float32)
+    cy = gy.astype(np.float32)
     cz = np.clip(np.floor((pts_s[:, 2] - vmin[2]) / vsize[2]), 0, grid[2] - 1)
     center = np.stack([(cx + 0.5) * vsize[0] + vmin[0],
                        (cy + 0.5) * vsize[1] + vmin[1],

@@ -86,7 +86,10 @@ def test_pillar_prep_matches_numpy():
                    / np.asarray(vsize, np.float32))
     ok = mask & ((rel >= 0) & (rel < np.asarray(grid))).all(1)
     c = rel.astype(np.int64)
-    want_pid = np.where(ok, c[:, 1] * 512 + c[:, 0], 512 * 512)
+    cx, cy = c[:, 0], c[:, 1]
+    # s2d id order on the even 512-grid (matches ops/voxel.encode_pillar_id)
+    enc = ((cy // 2) * 256 + cx // 2) * 4 + (cy % 2) * 2 + (cx % 2)
+    want_pid = np.where(ok, enc, 512 * 512)
     np.testing.assert_array_equal(pid, want_pid)
 
     # order sorts stably, iperm inverts, sorted_id consistent

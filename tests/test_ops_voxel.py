@@ -31,7 +31,12 @@ def _numpy_voxelize(points, mask, cfg):
     valid = mask.copy()
     for axis, g in enumerate((w, h, d)):
         valid &= (coords[:, axis] >= 0) & (coords[:, axis] < g)
-    pid = np.where(valid, coords[:, 1] * w + coords[:, 0], w * h)
+    cx, cy = coords[:, 0], coords[:, 1]
+    if cfg.use_s2d:  # s2d id order: cell-major, 2x2-phase-minor
+        enc = ((cy // 2) * (w // 2) + cx // 2) * 4 + (cy % 2) * 2 + (cx % 2)
+    else:
+        enc = cy * w + cx
+    pid = np.where(valid, enc, w * h)
     return pid, valid, coords
 
 
@@ -74,8 +79,9 @@ def test_boundary_semantics():
     info = compute_pillar_info(jnp.asarray(pts), jnp.asarray(mask), CFG)
     valid = np.asarray(info.valid)
     assert valid.tolist() == [True, False, True, False]
+    # s2d id order: cell (0,0) phase (0,0) → 0; cell (255,255) phase (1,1)
     assert int(info.pillar_id[0]) == 0
-    assert int(info.pillar_id[2]) == 511 * 512 + 511
+    assert int(info.pillar_id[2]) == (255 * 256 + 255) * 4 + 3
 
 
 def test_offsets_are_point_minus_pillar_center():
@@ -124,17 +130,25 @@ def test_centroids_and_mean_scatter_match_dense():
 
 
 def test_gather_roundtrip():
+    """Unpillar gather from the flat id-ordered table; cross-checked against
+    the (y, x) cell coordinates through image_to_table."""
+    from deflow_tpu.ops.voxel import encode_pillar_id, image_to_table
+
     rng = np.random.default_rng(2)
-    h, w, c = CFG.pseudoimage_hw[0], CFG.pseudoimage_hw[1], 4
-    img = rng.normal(size=(h, w, c)).astype(np.float32)
+    c = 4
+    ih, iw, m = CFG.image_shape
+    img = rng.normal(size=(ih, iw, m * c)).astype(np.float32)
+    table = np.asarray(image_to_table(jnp.asarray(img), CFG))
     pts = rng.uniform(-50, 50, size=(512, 3)).astype(np.float32)
     mask = rng.random(512) > 0.2
     info = compute_pillar_info(jnp.asarray(pts), jnp.asarray(mask), CFG)
-    out = np.asarray(pseudoimage_gather(jnp.asarray(img), info.coords_yx, info.valid))
+    out = np.asarray(pseudoimage_gather(
+        jnp.asarray(table), info.pillar_id, info.valid))
     yx = np.asarray(info.coords_yx)
     valid = np.asarray(info.valid)
     for i in range(512):
-        expect = img[yx[i, 0], yx[i, 1]] if valid[i] else np.zeros(c)
+        pid = int(encode_pillar_id(yx[i, 0], yx[i, 1], CFG))
+        expect = table[pid] if valid[i] else np.zeros(c)
         np.testing.assert_allclose(out[i], expect, atol=1e-6)
 
 

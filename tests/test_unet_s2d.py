@@ -29,6 +29,43 @@ def test_s2d_conv_matches_plain_conv():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def _fold(x):
+    """[B, H, W, C] → phase-folded [B, H/2, W/2, 4C]."""
+    b, h, w, c = x.shape
+    return (x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c))
+
+
+def _unfold(y):
+    b, h2, w2, mc = y.shape
+    c = mc // 4
+    return (y.reshape(b, h2, w2, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, h2 * 2, w2 * 2, c))
+
+
+def test_unet_s2d_matches_plain():
+    """The fully phase-folded UNet (s2d stem + s2d decoder tail: fused
+    bilinear-upsample conv, per-phase 1x1s, structured 3x3) must equal the
+    plain UNet on the same parameters — the param trees are identical."""
+    from deflow_tpu.models.unet import FastFlow3DUNet
+
+    rng = np.random.default_rng(3)
+    img0 = rng.normal(size=(2, 32, 32, 32)).astype(np.float32)
+    img1 = rng.normal(size=(2, 32, 32, 32)).astype(np.float32)
+
+    plain = FastFlow3DUNet(s2d=False)
+    variables = plain.init(jax.random.key(0), jnp.asarray(img0),
+                           jnp.asarray(img1))
+    want = np.asarray(plain.apply(variables, jnp.asarray(img0),
+                                  jnp.asarray(img1)))
+
+    folded = FastFlow3DUNet(s2d=True)
+    got_s2d = folded.apply(variables, jnp.asarray(_fold(img0)),
+                           jnp.asarray(_fold(img1)))
+    got = _unfold(np.asarray(got_s2d))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_s2d_param_tree_matches_checkpoint_layout():
     """The converter writes encoder_step_1/conv/kernel with torch's [8,8,C,O]
     (transposed) shape — the s2d module must keep that exact tree."""

@@ -78,10 +78,11 @@ def main():
     from deflow_tpu.models import build_model
     from deflow_tpu import trainer as T
 
-    batch, n, valid = 4, 131072, 86016
+    # BENCH_BS: per-chip batch (default 4 = the reference's per-GPU batch).
     # BENCH_DIST=skewed: realistic near-field-heavy radial point density
     # (guards the scatter numbers against uniform-cloud flattery); the
     # default stays uniform for cross-round comparability.
+    batch, n, valid = int(os.environ.get("BENCH_BS", 4)), 131072, 86016
     dist = os.environ.get("BENCH_DIST", "uniform")
     cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
                              "loss_fn=deflowLoss", "precision=bf16"])

@@ -27,8 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from deflow_tpu.ops.voxel import (
-    PillarInfo, pseudoimage_gather, pseudoimage_gather_batched)
+from deflow_tpu.ops.voxel import PillarInfo, pseudoimage_gather_batched
 
 
 def gather_voxel_features(

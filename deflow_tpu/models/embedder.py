@@ -33,7 +33,6 @@ from deflow_tpu.ops.voxel import (
     TRASH_PAD,
     PillarInfo,
     VoxelConfig,
-    _row_gather,
     _table_to_image,
     _use_pallas,
     compute_pillar_info,

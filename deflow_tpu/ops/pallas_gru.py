@@ -35,20 +35,27 @@ def _sigmoid(v):
     return jax.nn.sigmoid(v)
 
 
-def _fwd_iters(h, xp, w_zr, b_zr, w_q, b_q, num_iters, collect=False):
+def _fwd_iters(h, xp, w_zr, b_zr, w_q, b_q, num_iters, collect=False,
+               mm_dtype=jnp.float32):
     """Shared forward recurrence on one [TILE, H] block; optionally collects
-    per-iteration (h_in, z, r, q) for the backward pass."""
+    per-iteration (h_in, z, r, q) for the backward pass.
+
+    ``mm_dtype=bfloat16`` (used when the model runs bf16): matmul operands
+    round to bf16 for the native single-pass MXU path (f32 accumulation);
+    gates/state stay f32 on the VPU."""
     saved = []
+    wzr_m = w_zr.astype(mm_dtype)
+    wq_m = w_q.astype(mm_dtype)
     for _ in range(num_iters):
-        hx = jnp.concatenate([h, xp], axis=-1)                     # [T, 2H]
+        hx = jnp.concatenate([h, xp], axis=-1).astype(mm_dtype)    # [T, 2H]
         s_zr = jax.lax.dot_general(
-            hx, w_zr, (((1,), (0,)), ((), ())),
+            hx, wzr_m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b_zr
         z = _sigmoid(s_zr[:, :H])
         r = _sigmoid(s_zr[:, H:])
-        u = jnp.concatenate([r * h, xp], axis=-1)
+        u = jnp.concatenate([r * h, xp], axis=-1).astype(mm_dtype)
         s_q = jax.lax.dot_general(
-            u, w_q, (((1,), (0,)), ((), ())),
+            u, wq_m, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + b_q
         q = jnp.tanh(s_q)
         if collect:
@@ -57,7 +64,7 @@ def _fwd_iters(h, xp, w_zr, b_zr, w_q, b_q, num_iters, collect=False):
     return h, saved
 
 
-def _make_fwd_kernel(num_iters):
+def _make_fwd_kernel(num_iters, mm_dtype):
     def kernel(h0_ref, x_ref, wzr_ref, bzr_ref, wq_ref, bq_ref, out_ref):
         h = h0_ref[:].astype(jnp.float32)
         xp = x_ref[:].astype(jnp.float32)
@@ -65,13 +72,14 @@ def _make_fwd_kernel(num_iters):
         b_zr = bzr_ref[:].astype(jnp.float32)[0]
         w_q = wq_ref[:].astype(jnp.float32)
         b_q = bq_ref[:].astype(jnp.float32)[0]
-        h, _ = _fwd_iters(h, xp, w_zr, b_zr, w_q, b_q, num_iters)
+        h, _ = _fwd_iters(h, xp, w_zr, b_zr, w_q, b_q, num_iters,
+                          mm_dtype=mm_dtype)
         out_ref[:] = h.astype(out_ref.dtype)
 
     return kernel
 
 
-def _make_bwd_kernel(num_iters):
+def _make_bwd_kernel(num_iters, mm_dtype):
     def kernel(h0_ref, x_ref, wzr_ref, bzr_ref, wq_ref, bq_ref, g_ref,
                dh0_ref, dx_ref, dwzr_ref, dbzr_ref, dwq_ref, dbq_ref):
         i = pl.program_id(0)
@@ -81,9 +89,11 @@ def _make_bwd_kernel(num_iters):
         b_zr = bzr_ref[:].astype(jnp.float32)[0]
         w_q = wq_ref[:].astype(jnp.float32)
         b_q = bq_ref[:].astype(jnp.float32)[0]
+        wzr_m = wzr_ref[:].astype(mm_dtype)
+        wq_m = wq_ref[:].astype(mm_dtype)
 
         _, saved = _fwd_iters(h, xp, w_zr, b_zr, w_q, b_q, num_iters,
-                              collect=True)
+                              collect=True, mm_dtype=mm_dtype)
 
         dh = g_ref[:].astype(jnp.float32)
         dx = jnp.zeros_like(xp)
@@ -97,14 +107,15 @@ def _make_bwd_kernel(num_iters):
             dq = dh * z
             dh_in = dh * (1.0 - z)
 
-            ds_q = dq * (1.0 - q * q)
-            u = jnp.concatenate([r * h_in, xp], axis=-1)
+            ds_q = (dq * (1.0 - q * q))
+            ds_q_m = ds_q.astype(mm_dtype)
+            u = jnp.concatenate([r * h_in, xp], axis=-1).astype(mm_dtype)
             dwq = dwq + jax.lax.dot_general(
-                u, ds_q, (((0,), (0,)), ((), ())),
+                u, ds_q_m, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dbq = dbq + jnp.sum(ds_q, axis=0)
             du = jax.lax.dot_general(
-                ds_q, w_q, (((1,), (1,)), ((), ())),
+                ds_q_m, wq_m, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             drh = du[:, :H]
             dx = dx + du[:, H:]
@@ -113,13 +124,14 @@ def _make_bwd_kernel(num_iters):
 
             ds_zr = jnp.concatenate(
                 [dz * z * (1.0 - z), dr * r * (1.0 - r)], axis=-1)
-            hx = jnp.concatenate([h_in, xp], axis=-1)
+            ds_zr_m = ds_zr.astype(mm_dtype)
+            hx = jnp.concatenate([h_in, xp], axis=-1).astype(mm_dtype)
             dwzr = dwzr + jax.lax.dot_general(
-                hx, ds_zr, (((0,), (0,)), ((), ())),
+                hx, ds_zr_m, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dbzr = dbzr + jnp.sum(ds_zr, axis=0)
             dhx = jax.lax.dot_general(
-                ds_zr, w_zr, (((1,), (1,)), ((), ())),
+                ds_zr_m, wzr_m, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dh_in = dh_in + dhx[:, :H]
             dx = dx + dhx[:, H:]
@@ -150,19 +162,21 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
+def _mm_dtype(h0):
+    """bf16 models get native-bf16 MXU matmuls; f32 stays exact (parity)."""
+    return jnp.bfloat16 if h0.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _pad_inputs(h0, x, w_zr, b_zr, w_q, b_q):
-    """Pad x to H lanes and weights to 2H input rows; pad rows of points."""
+    """Pad the point rows; x keeps its native lane count (the kernel block
+    pads lanes in VMEM for free — an HBM-lane pad here cost a full [M, 128]
+    concat pass fwd+bwd).  Weight rows stay at [H + xdim, ·]."""
     m, hdim = h0.shape
     assert hdim == H, f"fused GRU is specialized to H={H}, got {hdim}"
-    xdim = x.shape[1]
     m_pad = _round_up(m, TILE)
-    xp = jnp.pad(x, ((0, m_pad - m), (0, H - xdim)))
+    xp = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     h0p = jnp.pad(h0, ((0, m_pad - m), (0, 0)))
-    wzr_p = jnp.zeros((2 * H, 2 * H), w_zr.dtype).at[:hdim].set(
-        w_zr[:hdim]).at[H:H + xdim].set(w_zr[hdim:])
-    wq_p = jnp.zeros((2 * H, H), w_q.dtype).at[:hdim].set(
-        w_q[:hdim]).at[H:H + xdim].set(w_q[hdim:])
-    return h0p, xp, wzr_p, b_zr, wq_p, b_q, m_pad
+    return h0p, xp, w_zr, b_zr, w_q, b_q, m_pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
@@ -181,18 +195,19 @@ def _block(shape, index_map=None, **kw):
 
 def _fused_fwd_impl(h0, x, w_zr, b_zr, w_q, b_q, num_iters):
     m = h0.shape[0]
+    xdim = x.shape[1]
     h0p, xp, wzr_p, bzr, wq_p, bq = _pad_inputs(h0, x, w_zr, b_zr, w_q, b_q)[:6]
     m_pad = h0p.shape[0]
     grid = (m_pad // TILE,)
     out = pl.pallas_call(
-        _make_fwd_kernel(num_iters),
+        _make_fwd_kernel(num_iters, _mm_dtype(h0)),
         grid=grid,
         in_specs=[
             _block((TILE, H), lambda i: (i, 0)),
-            _block((TILE, H), lambda i: (i, 0)),
-            _block((2 * H, 2 * H)),
+            _block((TILE, xdim), lambda i: (i, 0)),
+            _block((H + xdim, 2 * H)),
             _block((1, 2 * H)),
-            _block((2 * H, H)),
+            _block((H + xdim, H)),
             _block((1, H)),
         ],
         out_specs=_block((TILE, H), lambda i: (i, 0)),
@@ -214,42 +229,38 @@ def _fused_bwd(num_iters, res, g):
     gp = jnp.pad(g, ((0, m_pad - m), (0, 0)))
     grid = (m_pad // TILE,)
     dh0, dx, dwzr, dbzr, dwq, dbq = pl.pallas_call(
-        _make_bwd_kernel(num_iters),
+        _make_bwd_kernel(num_iters, _mm_dtype(h0)),
         grid=grid,
         in_specs=[
             _block((TILE, H), lambda i: (i, 0)),
-            _block((TILE, H), lambda i: (i, 0)),
-            _block((2 * H, 2 * H)),
+            _block((TILE, xdim), lambda i: (i, 0)),
+            _block((H + xdim, 2 * H)),
             _block((1, 2 * H)),
-            _block((2 * H, H)),
+            _block((H + xdim, H)),
             _block((1, H)),
             _block((TILE, H), lambda i: (i, 0)),
         ],
         out_specs=[
             _block((TILE, H), lambda i: (i, 0)),
-            _block((TILE, H), lambda i: (i, 0)),
-            _block((2 * H, 2 * H)),
+            _block((TILE, xdim), lambda i: (i, 0)),
+            _block((H + xdim, 2 * H)),
             _block((1, 2 * H)),
-            _block((2 * H, H)),
+            _block((H + xdim, H)),
             _block((1, H)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((m_pad, H), h0.dtype),
-            jax.ShapeDtypeStruct((m_pad, H), x.dtype),
-            jax.ShapeDtypeStruct((2 * H, 2 * H), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, xdim), x.dtype),
+            jax.ShapeDtypeStruct((H + xdim, 2 * H), jnp.float32),
             jax.ShapeDtypeStruct((1, 2 * H), jnp.float32),
-            jax.ShapeDtypeStruct((2 * H, H), jnp.float32),
+            jax.ShapeDtypeStruct((H + xdim, H), jnp.float32),
             jax.ShapeDtypeStruct((1, H), jnp.float32),
         ],
     )(h0p, xp, wzr_p, bzr.reshape(1, -1), wq_p, bq.reshape(1, -1), gp)
 
-    hdim = h0.shape[1]
-    # un-pad weight grads back to the caller's [hdim + xdim, ...] layout
-    dwzr_u = jnp.concatenate([dwzr[:hdim], dwzr[H:H + xdim]], axis=0)
-    dwq_u = jnp.concatenate([dwq[:hdim], dwq[H:H + xdim]], axis=0)
-    return (dh0[:m], dx[:m, :xdim],
-            dwzr_u.astype(w_zr.dtype), dbzr[0].astype(b_zr.dtype),
-            dwq_u.astype(w_q.dtype), dbq[0].astype(b_q.dtype))
+    return (dh0[:m], dx[:m],
+            dwzr.astype(w_zr.dtype), dbzr[0].astype(b_zr.dtype),
+            dwq.astype(w_q.dtype), dbq[0].astype(b_q.dtype))
 
 
 fused_gru.defvjp(_fused_fwd, _fused_bwd)

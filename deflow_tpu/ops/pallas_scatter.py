@@ -49,14 +49,13 @@ LANE = 128       # feature padding (TPU lane width); id shares the slab
 
 
 def _make_kernel(id_lane, bf16_ids):
-  def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems):
+  def _scatter_kernel(starts_ref, packed_hbm, out_ref, fbuf, sems, slot_ref):
     k = pl.program_id(0)
     num_tiles = pl.num_programs(0)
     start = starts_ref[k]
     end = starts_ref[k + 1]
     first = start // CHUNK
     nchunks = jnp.where(end > start, (end - 1) // CHUNK - first + 1, 0)
-    slot = jax.lax.rem(k, 2)
     c_pad = out_ref.shape[1]
 
     def dma(s, chunk_idx):
@@ -64,40 +63,45 @@ def _make_kernel(id_lane, bf16_ids):
             packed_hbm.at[pl.ds(chunk_idx * CHUNK, CHUNK), :],
             fbuf.at[s], sems.at[s])
 
-    @pl.when((k == 0) & (nchunks > 0))
+    # slot_ref carries which buffer holds THIS tile's first chunk (started
+    # by the predecessor's prefetch, or right here for tile 0)
+    @pl.when(k == 0)
     def _():
-        dma(slot, first).start()
+        slot_ref[0] = 0
 
-    @pl.when(nchunks > 0)
-    def _():
-        dma(slot, first).wait()
-
-    # prefetch the successor tile's first chunk while we compute
-    @pl.when(k + 1 < num_tiles)
-    def _():
-        nstart = starts_ref[k + 1]
-        nend = starts_ref[k + 2]
-
-        @pl.when(nend > nstart)
+        @pl.when(nchunks > 0)
         def _():
-            dma(jax.lax.rem(k + 1, 2), nstart // CHUNK).start()
+            dma(0, first).start()
+
+    s0 = slot_ref[0]
+    # successor's first chunk lands in the slot after this tile's last chunk
+    # (3-slot rotation: for spans of ≤2 chunks — the common case — that slot
+    # is free NOW, so the cross-tile prefetch overlaps this tile's compute)
+    s_succ = jax.lax.rem(s0 + nchunks, 3)
+    nstart = starts_ref[jnp.minimum(k + 1, num_tiles)]
+    nend = starts_ref[jnp.minimum(k + 2, num_tiles)]
+    do_prefetch = (k + 1 < num_tiles) & (nend > nstart)
+
+    @pl.when(do_prefetch & (nchunks <= 2))
+    def _():
+        dma(s_succ, nstart // CHUNK).start()
 
     tile_base = k * TILE_P
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 0)
 
-    def point_ids():
+    def point_ids(s):
         if not bf16_ids:
-            return fbuf[slot, :, id_lane].astype(jnp.int32)
+            return fbuf[s, :, id_lane].astype(jnp.int32)
         # bf16 can only hold ints ≤ 256 exactly; the id rides as three
         # base-128 digit lanes (each exact), recomposed here on the VPU.
-        a = fbuf[slot, :, id_lane].astype(jnp.int32)
-        b = fbuf[slot, :, id_lane + 1].astype(jnp.int32)
-        c = fbuf[slot, :, id_lane + 2].astype(jnp.int32)
+        a = fbuf[s, :, id_lane].astype(jnp.int32)
+        b = fbuf[s, :, id_lane + 1].astype(jnp.int32)
+        c = fbuf[s, :, id_lane + 2].astype(jnp.int32)
         return (a * 16384 + b * 128 + c)
 
-    def contrib(chunk_idx):
-        local = point_ids() - tile_base
+    def contrib(chunk_idx, s):
+        local = point_ids(s) - tile_base
         gpos = chunk_idx * CHUNK + pos
         keep = (gpos >= start) & (gpos < end) & (cols == local[:, None])
         onehot = jnp.where(keep, 1.0, 0.0).astype(fbuf.dtype)
@@ -105,25 +109,36 @@ def _make_kernel(id_lane, bf16_ids):
         # f32 accumulate).  f32 inputs: HIGHEST, since the default pass
         # rounds operands to bf16 (2e-2 abs err measured).
         return jax.lax.dot_general(
-            onehot, fbuf[slot, :, :c_pad],
+            onehot, fbuf[s, :, :c_pad],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.DEFAULT if bf16_ids
                        else jax.lax.Precision.HIGHEST),
         )  # [TILE_P, c_pad]
 
-    def body(i, acc):
-        acc = acc + contrib(first + i)
+    def body(i, carry):
+        acc, s = carry
+        nxt = jax.lax.rem(s + 1, 3)
 
+        # start the NEXT chunk's copy before computing this one (true
+        # double buffering — start-then-wait would serialize the span)
         @pl.when(i + 1 < nchunks)
         def _():
-            dma(slot, first + i + 1).start()
-            dma(slot, first + i + 1).wait()
+            dma(nxt, first + i + 1).start()
 
-        return acc
+        dma(s, first + i).wait()
+        return acc + contrib(first + i, s), nxt
 
     acc = jnp.zeros((TILE_P, c_pad), jnp.float32)
-    acc = jax.lax.fori_loop(0, nchunks, body, acc)
+    acc, _ = jax.lax.fori_loop(0, nchunks, body, (acc, s0))
+
+    # long spans (>2 chunks) could not prefetch upfront without colliding
+    # with their own rotation — start the successor's copy now instead
+    @pl.when(do_prefetch & (nchunks > 2))
+    def _():
+        dma(s_succ, nstart // CHUNK).start()
+
+    slot_ref[0] = s_succ
     out_ref[:] = acc.astype(out_ref.dtype)
 
   return _scatter_kernel
@@ -188,8 +203,9 @@ def _sorted_scatter(packed: jnp.ndarray, sorted_pid: jnp.ndarray,
         out_specs=pl.BlockSpec(
             (TILE_P, c_pad), lambda k, *_: (k, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, packed.shape[1]), packed.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, CHUNK, packed.shape[1]), packed.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1,), jnp.int32),   # double-buffer slot carry
         ],
     )
     # Accumulation is always f32 in VMEM; bf16 inputs round once on the HBM

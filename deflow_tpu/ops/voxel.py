@@ -205,16 +205,23 @@ def pillar_info_from_ids(
 def make_presorted_plan(sorted_id: jnp.ndarray, num_segments: int):
     """Plan for features that arrive ALREADY ascending-id sorted (the host
     record path): order=None disables the device permute; pid doubles as the
-    sorted flat ids for the backward gather."""
+    sorted flat ids for the backward gather.
+
+    Trash points (per-sample id == num_segments - TRASH_PAD) are routed to
+    the beyond-table sentinel so NO scatter tile ever accumulates them —
+    ~45k masked one-hot MACs per AV2 sample otherwise land in a row that is
+    sliced away (consumers mask by ``valid``, so reads never see them)."""
     if not _use_pallas():
         return None
     from deflow_tpu.ops.pallas_scatter import CHUNK, TILE_P, ScatterPlan, _round_up
 
     b, n = sorted_id.shape
+    trash = num_segments - TRASH_PAD
     boff = (jnp.arange(b, dtype=jnp.int32) * num_segments)[:, None]
-    flat_sorted = (sorted_id + boff).reshape(b * n)
-    n_pad = _round_up(b * n, CHUNK)
     sentinel = _round_up(b * num_segments, TILE_P) + 1
+    flat_sorted = jnp.where(sorted_id < trash, sorted_id + boff,
+                            sentinel).reshape(b * n)
+    n_pad = _round_up(b * n, CHUNK)
     padded = jnp.pad(flat_sorted, (0, n_pad - b * n), constant_values=sentinel)
     return ScatterPlan(flat_sorted, None, padded.astype(jnp.int32))
 
@@ -231,13 +238,17 @@ def make_host_scatter_plan(order: jnp.ndarray, sorted_id: jnp.ndarray,
     from deflow_tpu.ops.pallas_scatter import CHUNK, TILE_P, ScatterPlan, _round_up
 
     b, n = order.shape
+    trash = num_segments - TRASH_PAD
     boff_n = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     boff_s = (jnp.arange(b, dtype=jnp.int32) * num_segments)[:, None]
-    flat_order = (order + boff_n).reshape(b * n)
-    flat_sorted = (sorted_id + boff_s).reshape(b * n)
-    flat_pid = (pillar_id + boff_s).reshape(b * n)
-    n_pad = _round_up(b * n, CHUNK)
     sentinel = _round_up(b * num_segments, TILE_P) + 1
+    flat_order = (order + boff_n).reshape(b * n)
+    # trash → beyond-table sentinel: never accumulated (see make_presorted_plan)
+    flat_sorted = jnp.where(sorted_id < trash, sorted_id + boff_s,
+                            sentinel).reshape(b * n)
+    flat_pid = jnp.where(pillar_id < trash, pillar_id + boff_s,
+                         sentinel).reshape(b * n)
+    n_pad = _round_up(b * n, CHUNK)
     flat_sorted = jnp.pad(flat_sorted, (0, n_pad - b * n),
                           constant_values=sentinel)
     return ScatterPlan(flat_pid, flat_order, flat_sorted.astype(jnp.int32))

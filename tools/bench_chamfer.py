@@ -4,9 +4,11 @@
     python tools/bench_chamfer.py [--n 131072] [--m 131072] [--iters 5]
 
 Times one nearest-neighbor direction (dist+idx) at AV2 scale.  Both backends
-are O(N*M) brute force (as is the reference CUDA extension); the kernel wins
-on constants by keeping the reference slab VMEM-resident and fusing the
-min/argmin (no [N, TILE] HBM round-trips).
+are O(N*M) brute force (as is the reference CUDA extension) and land within
+a few percent of each other (VPU/min-reduce-bound); the kernel's edge is
+EXACTNESS — it computes f32 on the VPU, while a naive MXU formulation
+silently rounds operands to bf16 on TPU (~1e1 absolute error on squared
+distances at ±51 m coordinate scale).
 """
 
 import argparse

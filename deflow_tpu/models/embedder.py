@@ -23,7 +23,7 @@ Returned ``PillarInfo`` carries the static-shape analog of the reference's
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

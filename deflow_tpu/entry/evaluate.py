@@ -26,13 +26,29 @@ def _pose_flow_np(sample_pc0, sample_mask, ego_motion):
     return np.where(sample_mask[:, None], moved - sample_pc0, 0.0)
 
 
+def _sorted_prep(cfg):
+    """post_collate for eval/save loaders: the sorted host-prep pipeline
+    (same as training — the jitted step then runs zero permutes/argsorts).
+    Labels/masks are co-permuted, so metric accumulation needs no unsort;
+    per-point OUTPUTS destined for original point order must be restored
+    with ``pc0_unsort`` host-side."""
+    from deflow_tpu.data.host_prep import attach_host_prep
+
+    workers = int(cfg.get("num_workers", 0))
+    return lambda b: attach_host_prep(
+        b, list(cfg.voxel_size), list(cfg.point_cloud_range), sort=True,
+        num_workers=workers)
+
+
 def run_validation(eval_step, state, val_ds, cfg, mesh) -> Dict[str, float]:
     """Shared val sweep: streams batches through the jitted eval step and the
     numpy metric accumulators."""
     batch_size = int(cfg.batch_size)
     n_dev = mesh.devices.size if mesh is not None else 1
     batch_size = max(n_dev, batch_size - batch_size % n_dev)
-    loader = DataLoader(val_ds, batch_size, shuffle=False, drop_last=False)
+    loader = DataLoader(val_ds, batch_size, shuffle=False, drop_last=False,
+                        post_collate=_sorted_prep(cfg),
+                        num_workers=int(cfg.get("num_workers", 0)))
 
     three = ThreewayEPE()
     bucketed = BucketedEPE()
@@ -71,10 +87,13 @@ def _frame_full_flow(host_batch, out, b):
     ego = host_batch["raw_ego_motion"][b]
     pose_flow = _pose_flow_np(raw_pts, np.ones(len(raw_pts), bool), ego)
     full = pose_flow.copy()
+    pred = out["pred_flow"][b]
+    if "pc0_unsort" in host_batch:  # sorted pipeline: restore dataset order
+        pred = pred[host_batch["pc0_unsort"][b]]
     # dataset selection order: stable ground filter, then crop — reproducible
     kept = np.flatnonzero(~host_batch["raw_ground_mask"][b])
     kept = kept[: int(host_batch["pc0_mask"][b].sum())]
-    full[kept] = out["pred_flow"][b][: len(kept)]
+    full[kept] = pred[: len(kept)]
     return full, pose_flow
 
 
@@ -105,7 +124,9 @@ def write_submission(
     batch_size = max(1, int(cfg.batch_size))
     n_dev = mesh.devices.size if mesh is not None else 1
     batch_size = max(n_dev, batch_size - batch_size % n_dev)
-    loader = DataLoader(test_ds, batch_size, shuffle=False, drop_last=False)
+    loader = DataLoader(test_ds, batch_size, shuffle=False, drop_last=False,
+                        post_collate=_sorted_prep(cfg),
+                        num_workers=int(cfg.get("num_workers", 0)))
 
     zip_path = os.path.join(out_dir, f"submission_v{version}.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:

@@ -45,7 +45,11 @@ def main(cfg: Optional[Config] = None) -> str:
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
     n_dev = mesh.devices.size
-    loader = DataLoader(ds, n_dev, shuffle=False, drop_last=False)
+    from deflow_tpu.entry.evaluate import _sorted_prep
+
+    loader = DataLoader(ds, n_dev, shuffle=False, drop_last=False,
+                        post_collate=_sorted_prep(cfg),
+                        num_workers=int(cfg.get("num_workers", 0)))
     # collect predictions per (scene, timestamp), then write per scene file
     results = {}
     for host_batch in loader:
@@ -54,8 +58,11 @@ def main(cfg: Optional[Config] = None) -> str:
         out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
         for b in range(bsz):
             n = int(host_batch["pc0_mask"][b].sum())
+            pred = out["pred_flow"][b]
+            if "pc0_unsort" in host_batch:  # restore dataset point order
+                pred = pred[host_batch["pc0_unsort"][b]]
             results.setdefault(host_batch["scene_id"][b], {})[
-                host_batch["timestamp"][b]] = out["pred_flow"][b][:n].astype(np.float32)
+                host_batch["timestamp"][b]] = pred[:n].astype(np.float32)
     ds.close()
 
     for scene_id, frames in results.items():

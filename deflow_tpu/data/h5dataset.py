@@ -122,16 +122,22 @@ class HDF5Dataset:
         if limit:
             self.index = self.index[:limit]
         self._files: Dict[str, h5py.File] = {}
+        import threading
+
+        self._files_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.index)
 
     def _file(self, path: str) -> h5py.File:
-        f = self._files.get(path)
-        if f is None:
-            f = h5py.File(path, "r")
-            self._files[path] = f
-        return f
+        # threaded decode (DataLoader num_workers) shares this cache: the
+        # lock prevents a duplicated open whose handle would leak past close()
+        with self._files_lock:
+            f = self._files.get(path)
+            if f is None:
+                f = h5py.File(path, "r")
+                self._files[path] = f
+            return f
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         from deflow_tpu.utils import native
@@ -276,16 +282,13 @@ class DataLoader:
         # sample decode parallelism: threads, not processes — the hot decode
         # work (h5 slice + C++ select_pad) releases the GIL
         self.num_workers = int(num_workers)
-        self._pool = None
         self.epoch = 0
 
     def _decode(self, sel) -> list:
         if self.num_workers > 1 and len(sel) > 1:
-            if self._pool is None:
-                from concurrent.futures import ThreadPoolExecutor
+            from deflow_tpu.utils.native import shared_pool
 
-                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
-            return list(self._pool.map(
+            return list(shared_pool(self.num_workers).map(
                 self.dataset.__getitem__, [int(i) for i in sel]))
         return [self.dataset[int(i)] for i in sel]
 

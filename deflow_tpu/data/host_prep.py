@@ -126,10 +126,9 @@ def attach_host_prep(
         return p
 
     if num_workers and num_workers > 1 and b > 1:
-        from concurrent.futures import ThreadPoolExecutor
+        from deflow_tpu.utils.native import shared_pool
 
-        with ThreadPoolExecutor(max_workers=int(num_workers)) as pool:
-            per = list(pool.map(one, range(b)))
+        per = list(shared_pool(int(num_workers)).map(one, range(b)))
     else:
         per = [one(i) for i in range(b)]
 

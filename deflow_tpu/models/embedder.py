@@ -138,12 +138,17 @@ class DynamicEmbedder(nn.Module):
                 lambda p, m, i: pillar_info_from_ids(p, m, i, cfg)
             )(points, mask, host["ids"])
             if "order" in host:
+                # points arrive in original order: the decoder plan permutes;
+                # the sorted RECORD below still needs a presorted plan
                 plan = make_host_scatter_plan(
                     host["order"], host["sorted_id"], info.pillar_id,
                     cfg.num_pillars + TRASH_PAD)
+                rec_plan = make_presorted_plan(
+                    host["sorted_id"], cfg.num_pillars + TRASH_PAD)
             else:  # batch shipped presorted: ids ARE ascending, no permutes
                 plan = make_presorted_plan(
                     host["sorted_id"], cfg.num_pillars + TRASH_PAD)
+                rec_plan = plan
             if ("sorted_rec" in host and _use_pallas()
                     and self.scatter_mode != "max"):
                 # Fully sorted compute: the host shipped the point record in
@@ -151,7 +156,7 @@ class DynamicEmbedder(nn.Module):
                 # every pillar-table access has ascending indices.  Point
                 # coordinates carry no gradient, so no inverse permutation is
                 # needed anywhere.
-                image = self._sorted_image(host, cfg, pfn, train)
+                image = self._sorted_image(host, cfg, pfn, rec_plan, train)
                 return image.astype(self.dtype), info, plan
         else:
             info = jax.vmap(lambda p, m: compute_pillar_info(p, m, cfg))(points, mask)
@@ -171,17 +176,16 @@ class DynamicEmbedder(nn.Module):
             image = pillar_mean_scatter_batched(point_feats, info, cfg, plan)
         return image.astype(self.dtype), info, plan
 
-    def _sorted_image(self, host, cfg, pfn, train):
+    def _sorted_image(self, host, cfg, pfn, pre, train):
         """Pseudoimage from the host-sorted record (zero device permutes).
 
         The 9-lane record IS the PFN input ([xyz | cluster | center-offset],
         host-computed centroids — utils/native.sorted_record), so the only
-        device-side scatter left is the feature pass."""
-        b, n, _ = host["sorted_rec"].shape
+        device-side scatter left is the feature pass; ``pre`` is the caller's
+        presorted ScatterPlan over the record's ids."""
         feats9_s = host["sorted_rec"]
         ids_s = host["sorted_id"]
         valid_s = ids_s < cfg.num_pillars
-        pre = make_presorted_plan(ids_s, cfg.num_pillars + TRASH_PAD)
 
         point_feats_s = pfn(feats9_s, valid_s, train)
 

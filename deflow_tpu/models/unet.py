@@ -66,7 +66,14 @@ class SpaceToDepthConv(nn.Module):
             y = x.astype(self.dtype)
         else:
             b, h, w, _ = x.shape
-            assert h % 2 == 0 and w % 2 == 0, "space-to-depth needs even H, W"
+            if h % 2 or w % 2:
+                # odd grid (row-major pillar-id fallback): the phase fold
+                # does not apply — run the plain conv on the SAME parameters
+                out = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return out + bias.astype(out.dtype)
             # x[., 2i+dh, 2j+dw, c] -> y[., i, j, (dh, dw, c)]
             y = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
             y = y.reshape(b, h // 2, w // 2, 4 * c).astype(self.dtype)

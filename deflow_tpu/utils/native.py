@@ -126,6 +126,30 @@ def _pad_gather(a, sel, max_points, dtype):
     return out
 
 
+_POOL = None
+_POOL_SIZE = 0
+_POOL_LOCK = None
+
+
+def shared_pool(num_workers: int):
+    """Process-wide ThreadPoolExecutor for GIL-free host work (grows to the
+    largest requested size; per-batch pool creation costs thread spawns on
+    the hot loader path, and per-loader pools leak idle threads)."""
+    global _POOL, _POOL_SIZE, _POOL_LOCK
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _POOL_LOCK is None:
+        _POOL_LOCK = threading.Lock()
+    with _POOL_LOCK:
+        if _POOL is None or num_workers > _POOL_SIZE:
+            if _POOL is not None:
+                _POOL.shutdown(wait=False)
+            _POOL = ThreadPoolExecutor(max_workers=int(num_workers))
+            _POOL_SIZE = int(num_workers)
+    return _POOL
+
+
 def permute_rows(a: np.ndarray, order: np.ndarray) -> np.ndarray:
     """``a[order]`` for 1-D/2-D arrays — C++/OpenMP row gather (GIL-free via
     ctypes) with a numpy fallback.  Used by the sorted data pipeline, which

@@ -66,6 +66,27 @@ def test_unet_s2d_matches_plain():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_odd_grid_falls_back_to_plain_conv():
+    """Odd pillar grids use row-major ids (VoxelConfig.use_s2d False) and the
+    UNet stem must fall back to the plain stride-2 conv on the SAME params."""
+    from flax import linen as nn
+
+    from deflow_tpu.models.unet import SpaceToDepthConv
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 31, 31, 32)).astype(np.float32)  # odd H, W
+    k = rng.normal(size=(8, 8, 32, 64)).astype(np.float32) * 0.05
+    b = rng.normal(size=(64,)).astype(np.float32)
+    variables = {"params": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}
+
+    got = np.asarray(SpaceToDepthConv(64, 32).apply(variables, jnp.asarray(x)))
+    want = np.asarray(nn.Conv(64, (8, 8), strides=(2, 2),
+                              padding=((3, 3), (3, 3))).apply(
+        variables, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_s2d_param_tree_matches_checkpoint_layout():
     """The converter writes encoder_step_1/conv/kernel with torch's [8,8,C,O]
     (transposed) shape — the s2d module must keep that exact tree."""

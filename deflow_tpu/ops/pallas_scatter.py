@@ -23,10 +23,11 @@ No scatter instruction exists anywhere; every output row is written once.
 The backward pass of segment-sum w.r.t. features is a plain gather, so the
 custom VJP stays in XLA.
 
-Precision: the dot runs at HIGHEST precision — the MXU's default path rounds
-f32 operands to bf16 (measured 2e-2 absolute error on unit-scale sums, far
-outside the parity budget).  bf16 inputs are upcast to f32 on the host side;
-the scatter is a small fraction of step time either way.
+Precision: f32 inputs use a HIGHEST-precision dot — the MXU's default path
+rounds f32 operands to bf16 (measured 2e-2 absolute error on unit-scale
+sums, far outside the parity budget).  bf16 inputs run the native MXU pass
+(one-hot × bf16 products are exact, f32 accumulation in VMEM) and write
+bf16 back to HBM — one 2^-9 rounding, half the slab traffic.
 
 Semantics contract (tested against ``jax.ops.segment_sum``): ids outside
 [0, num_pillars) (the trash/padding sentinel = num_pillars) contribute
@@ -44,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_P = 512     # output pillar rows per grid step
-CHUNK = 512      # sorted points DMA'd per inner iteration
+CHUNK = 256      # sorted points DMA'd per inner iteration (swept: 256 > 512 > 128)
 LANE = 128       # feature padding (TPU lane width); id shares the slab
 
 

@@ -107,6 +107,7 @@ def seflow_loss(
     out: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],
     truncate: float = 2.0,
+    chamfer_method: str = "auto",
 ) -> jnp.ndarray:
     """SeFlow self-supervised loss (arXiv:2407.01702 §IV) [T3 semantics].
 
@@ -141,8 +142,11 @@ def seflow_loss(
         n = jnp.sum(m, axis=-1)
         return jnp.where(n > 0, s / jnp.maximum(n, 1), 0.0)
 
-    # one batched chamfer instead of a per-sample Python loop: [B, N]/[B, M]
-    d0, d1 = chamfer_distance(warped, pc1, m0, m1)
+    # one batched chamfer instead of a per-sample Python loop: [B, N]/[B, M].
+    # At full AV2 scale (131k² pairs) "auto" takes the coarse-grid search —
+    # exact for the truncated loss, ~linear instead of quadratic.
+    d0, d1 = chamfer_distance(warped, pc1, m0, m1,
+                              method=chamfer_method, truncate=truncate)
     terms = (_rows_mean(jnp.minimum(d0, t2), m0)
              + _rows_mean(jnp.minimum(d1, t2), m1))
     if dufo0 is not None:
@@ -151,7 +155,9 @@ def seflow_loss(
         if dufo1 is not None:
             dyn0 = m0 & (dufo0 > 0)
             dyn1 = m1 & (dufo1 > 0)
-            dd0, dd1 = chamfer_distance(warped, pc1, dyn0, dyn1)
+            dd0, dd1 = chamfer_distance(warped, pc1, dyn0, dyn1,
+                                        method=chamfer_method,
+                                        truncate=truncate)
             terms = terms + (_rows_mean(jnp.minimum(dd0, t2), dyn0)
                              + _rows_mean(jnp.minimum(dd1, t2), dyn1))
     return jnp.mean(terms)

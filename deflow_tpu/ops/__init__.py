@@ -8,4 +8,4 @@ from .voxel import (
     pillar_max_scatter,
     pseudoimage_gather,
 )
-from .chamfer import chamfer_distance, truncated_chamfer_loss
+from .chamfer import NNSpec, chamfer_distance, truncated_chamfer_loss

@@ -1,0 +1,149 @@
+"""Coarse-grid chamfer backend: exactness under truncation vs brute force.
+
+The grid search (ops/chamfer.py::_grid_min_dist) replaces the reference's
+brute-force chamfer3D CUDA extension (reference README.md:39) at full AV2
+scale: binned 2 m XY cells + 3x3 neighbor search, exact for every NN distance
+below ring*cell, which is all the truncated SSL loss can see.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deflow_tpu.ops.chamfer import (
+    NNSpec,
+    _resolve_spec,
+    chamfer_distance,
+    truncated_chamfer_loss,
+)
+
+
+def _clouds(seed=0, n=400, m=600, scale=9.0):
+    rng = np.random.default_rng(seed)
+    p = (rng.normal(size=(n, 3)) * scale).astype(np.float32)
+    q = (rng.normal(size=(m, 3)) * scale).astype(np.float32)
+    p[:, 2] *= 0.2
+    q[:, 2] *= 0.2
+    mp = rng.random(n) > 0.12
+    mq = rng.random(m) > 0.12
+    return p, q, mp, mq
+
+
+def _brute(p, q, mq):
+    full = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    full[:, ~mq] = np.inf
+    return full.min(1), full.argmin(1)
+
+
+SPEC = NNSpec(method="grid", cell=2.0, ring=1, capacity=256, chunk=128)
+
+
+def test_grid_matches_brute_below_radius():
+    p, q, mp, mq = _clouds()
+    d0, d1, i0, i1 = chamfer_distance(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(mp), jnp.asarray(mq),
+        return_idx=True, spec=SPEC)
+    bd0, bi0 = _brute(p, q, mq)
+    bd1, bi1 = _brute(q, p, mp)
+    r2 = (SPEC.ring * SPEC.cell) ** 2
+    near0 = mp & (bd0 < r2)
+    near1 = mq & (bd1 < r2)
+    assert near0.sum() > 50 and near1.sum() > 50  # fixture actually tests it
+    np.testing.assert_allclose(np.asarray(d0)[near0], bd0[near0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1)[near1], bd1[near1],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i0)[near0], bi0[near0])
+    np.testing.assert_array_equal(np.asarray(i1)[near1], bi1[near1])
+    # beyond the radius the grid may only OVERestimate (a clipped lower bound
+    # for the loss) and masked rows stay exactly zero
+    far0 = mp & ~near0
+    assert np.all(np.asarray(d0)[far0] >= bd0[far0] - 1e-4)
+    assert np.all(np.asarray(d0)[~mp] == 0.0)
+
+
+def test_truncated_loss_grid_equals_brute():
+    p, q, mp, mq = _clouds(seed=3)
+    args = (jnp.asarray(p), jnp.asarray(q), jnp.asarray(mp), jnp.asarray(mq))
+    lb = truncated_chamfer_loss(*args, truncate=2.0, method="brute")
+    d0, d1 = chamfer_distance(*args, spec=SPEC)
+    t2 = 4.0
+    lg = (jnp.sum(jnp.minimum(d0, t2)) / mp.sum()
+          + jnp.sum(jnp.minimum(d1, t2)) / mq.sum())
+    np.testing.assert_allclose(float(lg), float(lb), rtol=1e-5)
+
+
+def test_truncated_loss_grad_grid_equals_brute():
+    p, q, mp, mq = _clouds(seed=7, n=200, m=300)
+
+    def loss(pc0, method, spec=None):
+        d0, d1 = chamfer_distance(pc0, jnp.asarray(q), jnp.asarray(mp),
+                                  jnp.asarray(mq), method=method,
+                                  truncate=2.0, spec=spec)
+        return (jnp.sum(jnp.minimum(d0, 4.0)) / mp.sum()
+                + jnp.sum(jnp.minimum(d1, 4.0)) / mq.sum())
+
+    gb = jax.grad(lambda x: loss(x, "brute"))(jnp.asarray(p))
+    gg = jax.grad(lambda x: loss(x, "grid", SPEC))(jnp.asarray(p))
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gb),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_batched_vmap():
+    ps, qs, mps, mqs = zip(*[_clouds(seed=s, n=256, m=256) for s in (1, 2)])
+    d0, d1 = chamfer_distance(
+        jnp.asarray(np.stack(ps)), jnp.asarray(np.stack(qs)),
+        jnp.asarray(np.stack(mps)), jnp.asarray(np.stack(mqs)), spec=SPEC)
+    for b in range(2):
+        bd0, _ = _brute(ps[b], qs[b], mqs[b])
+        near = mps[b] & (bd0 < 4.0)
+        np.testing.assert_allclose(np.asarray(d0[b])[near], bd0[near],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_capacity_overflow_only_overestimates():
+    # 600 points crammed into one cell with capacity 8: dropped candidates may
+    # raise the reported distance but never lower it (loss stays a valid
+    # truncated upper bound)
+    p, q, mp, mq = _clouds(seed=5, scale=0.4)
+    small = SPEC._replace(capacity=8)
+    d0, _ = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                             jnp.asarray(mp), jnp.asarray(mq), spec=small)
+    bd0, _ = _brute(p, q, mq)
+    assert np.all(np.asarray(d0)[mp] >= bd0[mp] - 1e-4)
+    # with this density the subsample NN is still loosely tight (soft sanity
+    # bound, not a semantic pin — overflow keeps the first K points per cell)
+    assert float(np.median(np.asarray(d0)[mp] - bd0[mp])) < 0.3
+
+
+def test_auto_dispatch_scale_threshold():
+    assert _resolve_spec("auto", 131072, 131072, 2.0, None).method == "grid"
+    assert _resolve_spec("auto", 4096, 4096, 2.0, None).method == "brute"
+    assert _resolve_spec("auto", 131072, 131072, None, None).method == "brute"
+
+
+def test_seflow_loss_grid_matches_brute():
+    from deflow_tpu.losses import seflow_loss
+
+    rng = np.random.default_rng(11)
+    n = 256
+    pc0 = (rng.normal(size=(1, n, 3)) * 6).astype(np.float32)
+    pc1 = pc0 + rng.normal(size=(1, n, 3)).astype(np.float32) * 0.3
+    mask = rng.random((1, n)) > 0.1
+    out = {
+        "flow": jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32) * 0.1),
+        "pose_flow": jnp.zeros((1, n, 3), jnp.float32),
+        "pc0_valid": jnp.asarray(mask),
+        "pc1_valid": jnp.asarray(mask),
+    }
+    batch = {
+        "pc0": jnp.asarray(pc0), "pc1": jnp.asarray(pc1),
+        "pc0_mask": jnp.asarray(mask), "pc1_mask": jnp.asarray(mask),
+        "dufo_label0": jnp.asarray((rng.random((1, n)) > 0.5).astype(np.int32)),
+        "dufo_label1": jnp.asarray((rng.random((1, n)) > 0.5).astype(np.int32)),
+    }
+    lb = seflow_loss(out, batch, chamfer_method="brute")
+    lg = seflow_loss(out, batch, chamfer_method="grid")
+    np.testing.assert_allclose(float(lg), float(lb), rtol=1e-4)

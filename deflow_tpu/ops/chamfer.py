@@ -150,16 +150,28 @@ def _grid_min_dist(
     end = jnp.searchsorted(ids_sorted, cell_iota, side="right")
     count = jnp.minimum(end - start, cap)                       # overflow drop
     slots = jnp.minimum(start[:, None] + jnp.arange(cap)[None, :], m - 1)
-    slot_ok = jnp.arange(cap)[None, :] < count[:, None]          # [C, K]
-    pos_flat = q_sorted[slots.reshape(-1)].reshape(num_cells, cap * 3)
+    # candidate table with K on the 128-lane axis ([C, K, 3] would put the
+    # 3-vector minor and waste ~40x of every downstream VPU op)
+    pos_t = q_sorted[slots.reshape(-1)].reshape(num_cells, cap, 3)
+    pos_t = pos_t.transpose(0, 2, 1)                             # [C, 3, K]
     idx_tab = order[slots.reshape(-1)].reshape(num_cells, cap).astype(jnp.int32)
 
+    # Pre-concatenate each cell's (2r+1)² neighbor ring into ONE table row
+    # ([C, 3, NB·K] via jnp.roll), so every query costs a single row gather —
+    # the search is gather-descriptor-bound on TPU, and this cuts descriptors
+    # (2r+1)²-fold (measured 46 → ~11 ms at 131k).  Rolls wrap at grid edges,
+    # which only ADDS far-away candidates: distances are computed from true
+    # positions, so supersets never change the min below the exactness radius.
     r = spec.ring
     offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
                                 indexing="ij"), -1).reshape(-1, 2)
-    dys = jnp.asarray(offs[:, 0], jnp.int32)
-    dxs = jnp.asarray(offs[:, 1], jnp.int32)
+    flat_offs = offs[:, 0] * gx + offs[:, 1]
     nb_k = len(offs)
+    ring_pos = jnp.concatenate(
+        [jnp.roll(pos_t, -int(o), axis=0) for o in flat_offs], axis=-1)
+    ring_cnt = jnp.stack(
+        [jnp.roll(count, -int(o)) for o in flat_offs], axis=-1)   # [C, NB]
+    flat_offs_arr = jnp.asarray(flat_offs, jnp.int32)
 
     chunk = spec.chunk
     pad = (-n) % chunk
@@ -169,17 +181,20 @@ def _grid_min_dist(
 
     def body(_, pts):  # pts: [chunk, 3]
         cx, cy = _bin2d(pts, spec, gx, gy)
-        nx = jnp.clip(cx[:, None] + dxs[None, :], 0, gx - 1)
-        ny = jnp.clip(cy[:, None] + dys[None, :], 0, gy - 1)
-        nb = (ny * gx + nx).reshape(-1)                          # [chunk·NB]
-        cand = pos_flat[nb].reshape(chunk, nb_k * cap, 3)
-        ok = slot_ok[nb].reshape(chunk, nb_k * cap)
-        d = jnp.sum((pts[:, None, :] - cand) ** 2, axis=-1)
-        d = jnp.where(ok, d, _BIG)
+        c = cy * gx + cx                                          # [chunk]
+        slab = ring_pos[c]                                        # [chunk,3,NB·K]
+        cnt = ring_cnt[c]                                         # [chunk, NB]
+        ok = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]
+              ).reshape(chunk, nb_k * cap)
+        dx = pts[:, 0][:, None] - slab[:, 0]
+        dy = pts[:, 1][:, None] - slab[:, 1]
+        dz = pts[:, 2][:, None] - slab[:, 2]
+        d = jnp.where(ok, dx * dx + dy * dy + dz * dz, _BIG)
         best = jnp.min(d, axis=1)
         arg = jnp.argmin(d, axis=1)
-        oi = idx_tab[nb].reshape(chunk, nb_k * cap)
-        bi = jnp.take_along_axis(oi, arg[:, None], axis=1)[:, 0]
+        # map back to original q index with ONE scalar gather per query
+        cell_sel = jnp.mod(c + flat_offs_arr[arg // cap], num_cells)
+        bi = idx_tab[cell_sel, arg % cap]
         return _, (best, bi)
 
     _, (dist, idx) = jax.lax.scan(

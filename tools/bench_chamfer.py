@@ -1,27 +1,46 @@
 #!/usr/bin/env python
-"""Full-scale chamfer benchmark on TPU: Pallas kernel vs XLA lax.scan.
+"""Chamfer backend scaling bench: brute vs coarse-grid, fwd and fwd+bwd.
 
-    python tools/bench_chamfer.py [--n 131072] [--m 131072] [--iters 5]
+Run on the real TPU (plain ``python tools/bench_chamfer.py``) or CPU (with the
+conftest-style env prefix).  Times the truncated chamfer loss exactly as the
+SSL path uses it (value + gradient wrt the warped cloud).
 
-Times one nearest-neighbor direction (dist+idx) at AV2 scale.  Both backends
-are O(N*M) brute force (as is the reference CUDA extension) and land within
-a few percent of each other (VPU/min-reduce-bound); the kernel's edge is
-EXACTNESS — it computes f32 on the VPU, while a naive MXU formulation
-silently rounds operands to bf16 on TPU (~1e1 absolute error on squared
-distances at ±51 m coordinate scale).
+The reference's chamfer3D CUDA extension is brute force (reference
+README.md:39); full-scale SeFlow SSL needs 131k-vs-131k per sample, where
+brute force is quadratic (~850 ms/dir on v5e) — the grid backend is the
+production path.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cloud(rng, n, skew=True):
+    if skew:
+        r = np.clip(rng.gamma(2.0, 8.0, n), 1.5, 51.0)
+        th = rng.uniform(0, 2 * np.pi, n)
+        return np.stack([r * np.cos(th), r * np.sin(th),
+                         rng.uniform(-2.8, 2.8, n)], -1).astype(np.float32)
+    return rng.uniform(-51, 51, (n, 3)).astype(np.float32)
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=131072)
-    ap.add_argument("--m", type=int, default=131072)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--sizes", default="16384,65536,131072")
+    ap.add_argument("--valid_frac", type=float, default=0.66)
+    ap.add_argument("--uniform", action="store_true")
+    ap.add_argument("--skip_brute_above", type=int, default=32768)
+    ap.add_argument("--capacity", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--trace", action="store_true",
+                    help="profile the grid fwd at the largest size and print "
+                         "the xplane op breakdown")
     args = ap.parse_args()
 
     import jax
@@ -30,34 +49,59 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from deflow_tpu.ops.chamfer import _min_dist_tiled
-    from deflow_tpu.ops.pallas_chamfer import chamfer_min_pallas
+    from deflow_tpu.ops.chamfer import NNSpec, chamfer_distance
 
     rng = np.random.default_rng(0)
-    p = rng.uniform(-51, 51, (args.n, 3)).astype(np.float32)
-    q = rng.uniform(-51, 51, (args.m, 3)).astype(np.float32)
-    mq = np.ones(args.m, bool)
-    jp, jq, jmq = jnp.asarray(p), jnp.asarray(q), jnp.asarray(mq)
 
-    pallas_fn = jax.jit(lambda a, b, m: chamfer_min_pallas(a, b, m))
-    scan_fn = jax.jit(lambda a, b, m: _min_dist_tiled(a, b, m, 2048))
-
-    def timed(fn, label):
-        d, i = fn(jp, jq, jmq)
-        float(d[0])  # axon sync point (block_until_ready is a no-op here)
+    def timed(f, *a):
+        out = f(*a)
+        jax.tree_util.tree_map(lambda x: float(jnp.ravel(x)[0]), out)  # drain
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            d, i = fn(jp, jq, jmq)
-        float(d[0])
-        dt = (time.perf_counter() - t0) / args.iters
-        print(f"{label:>12}: {dt * 1e3:8.2f} ms/direction "
-              f"({args.n}x{args.m}) pairs/s={args.n * args.m / dt:.3g}")
-        return dt, np.asarray(d)
+        k = 5
+        for _ in range(k):
+            out = f(*a)
+        jax.tree_util.tree_map(lambda x: float(jnp.ravel(x)[0]), out)
+        return (time.perf_counter() - t0) / k
 
-    t_scan, d_scan = timed(scan_fn, "xla scan")
-    t_pallas, d_pallas = timed(pallas_fn, "pallas")
-    err = np.abs(d_scan - d_pallas)
-    print(f"max |Δd| = {err.max():.3e}; speedup = {t_scan / t_pallas:.2f}x")
+    for n in [int(s) for s in args.sizes.split(",")]:
+        p = cloud(rng, n, not args.uniform)
+        q = cloud(rng, n, not args.uniform)
+        mask = np.arange(n) < int(n * args.valid_frac)
+        p[~mask] = 0
+        q[~mask] = 0
+        jp, jq, jm = jnp.asarray(p), jnp.asarray(q), jnp.asarray(mask)
+
+        def loss(pc0, spec):
+            d0, d1 = chamfer_distance(pc0, jq, jm, jm, spec=spec)
+            return (jnp.sum(jnp.minimum(d0, 4.0)) + jnp.sum(jnp.minimum(d1, 4.0)))
+
+        for name, spec in (
+            ("grid", NNSpec(method="grid", cell=2.0, ring=1,
+                            capacity=args.capacity, chunk=args.chunk)),
+            ("brute", NNSpec(method="brute")),
+        ):
+            if name == "brute" and n > args.skip_brute_above:
+                print(f"n={n:7d} {name:5s}  skipped (quadratic)")
+                continue
+            fwd = jax.jit(lambda pc0, s=spec: loss(pc0, s))
+            vg = jax.jit(jax.value_and_grad(lambda pc0, s=spec: loss(pc0, s)))
+            tf = timed(fwd, jp)
+            tg = timed(vg, jp)
+            v = float(fwd(jp))
+            print(f"n={n:7d} {name:5s}  fwd {tf*1e3:8.2f} ms   "
+                  f"fwd+bwd {tg*1e3:8.2f} ms   loss={v:.1f}")
+            if args.trace and name == "grid":
+                from trace_step import analyze
+
+                out_dir = "/tmp/trace_chamfer"
+                steps = 5
+                jax.profiler.start_trace(out_dir)
+                o = None
+                for _ in range(steps):
+                    o = fwd(jp)
+                float(o)
+                jax.profiler.stop_trace()
+                analyze(out_dir, steps)
 
 
 if __name__ == "__main__":

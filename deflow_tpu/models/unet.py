@@ -263,6 +263,10 @@ class ConvWithNorms(nn.Module):
                 name="conv",
             )(x)
         if not (x.shape[1] == 1 and x.shape[2] == 1):
+            # f32 BN on purpose: ablated dtype=self.dtype (bf16) on v5e and it
+            # LOST ~3% step time (32.4 vs 33.3 pairs/s) — XLA's convert+reduce
+            # BN fusions over the bf16 conv outputs are already optimal, and
+            # the bf16 normalize path adds converts without cutting traffic.
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,  # torch BatchNorm2d momentum=0.1

@@ -33,7 +33,7 @@ def capture(out_dir: str, steps: int):
     from deflow_tpu.models import build_model
     from deflow_tpu import trainer as T
 
-    batch, n, valid = 4, 131072, 86016
+    batch, n, valid = 4, int(os.environ.get("BENCH_N", 98304)), 86016
     cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
                              "loss_fn=deflowLoss", "precision=bf16"])
     model = build_model(cfg.model, precision="bf16")

@@ -285,10 +285,18 @@ def _planned_scatter(feats, plan, num_pillars):
 
 
 def _planned_fwd(feats, plan, num_pillars):
-    return _planned_scatter(feats, plan, num_pillars), plan.pid
+    # plan.order is None ⟺ pid is the ascending host-sorted flat id array —
+    # the backward gather can then ride the sorted-sweep Pallas kernel
+    return _planned_scatter(feats, plan, num_pillars), (plan.pid,
+                                                        plan.order is None)
 
 
-def _planned_bwd(num_pillars, pid, g):
+def _planned_bwd(num_pillars, res, g):
+    pid, presorted = res
+    if presorted:
+        from deflow_tpu.ops.pallas_gather import sorted_rows_gather_pallas
+
+        return sorted_rows_gather_pallas(g, pid, num_pillars), None
     safe = jnp.clip(pid, 0, num_pillars - 1)
     gf = g[safe]
     gf = jnp.where((pid >= 0)[:, None] & (pid < num_pillars)[:, None], gf, 0.0)

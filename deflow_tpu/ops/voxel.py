@@ -489,7 +489,23 @@ def _gather_planned(image_flat, pillar_id, valid, plan):
     cotangents into the pseudoimage) as badly as the forward voxelizer
     scatter; with the embedder's ScatterPlan already in hand, the backward
     reuses the sorted-scatter kernel for free.
+
+    On the fully presorted path (``plan.order is None`` — host shipped the
+    batch in ascending-id order) the FORWARD also leaves XLA: its row gather
+    costs a fixed ~15 ns/row on v5e (descriptor-bound, ~6 ms at 393k rows);
+    the sorted-sweep Pallas kernel (ops/pallas_gather.py) streams the pillar
+    table once instead.
     """
+    b, p, c = image_flat.shape
+    if plan is not None and plan.order is None and _use_pallas():
+        from deflow_tpu.ops.pallas_gather import sorted_rows_gather_pallas
+
+        boff = (jnp.arange(b, dtype=jnp.int32) * p)[:, None]
+        flat_ids = jnp.where(pillar_id < p, pillar_id + boff,
+                             jnp.int32(2**30)).reshape(b * pillar_id.shape[1])
+        out = sorted_rows_gather_pallas(
+            image_flat.reshape(b * p, c), flat_ids, b * p)
+        return out.reshape(b, pillar_id.shape[1], c)
     idx = jnp.clip(pillar_id, 0, image_flat.shape[1] - 1)
     out = _row_gather(image_flat, idx)
     return jnp.where(valid[..., None], out, 0.0)

@@ -58,6 +58,9 @@ def make_batch(batch: int, n: int, valid: int, seed: int = 0,
         "flow": rng.normal(0, 0.2, (batch, n, 3)).astype(np.float32),
         "flow_is_valid": mask.copy(),
         "flow_category_indices": rng.integers(0, 30, (batch, n)).astype(np.int32),
+        # DUFO dynamic/static labels (SeFlow SSL training, process.py output)
+        "dufo_label0": (rng.random((batch, n)) < 0.15).astype(np.int32),
+        "dufo_label1": (rng.random((batch, n)) < 0.15).astype(np.int32),
     }
     # production data path: ragged bookkeeping (bin + sort + inverse perm)
     # happens on the host (C++), the device consumes ids/permutations
@@ -89,15 +92,18 @@ def main():
     batch, n, valid = (int(os.environ.get("BENCH_BS", 4)),
                        int(os.environ.get("BENCH_N", 98304)), 86016)
     dist = os.environ.get("BENCH_DIST", "uniform")
+    # BENCH_LOSS=seflowLoss benchmarks full-scale self-supervised (SeFlow)
+    # training: grid-chamfer SSL loss, no gt flow consumed.
+    loss_fn = os.environ.get("BENCH_LOSS", "deflowLoss")
     cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
-                             "loss_fn=deflowLoss", "precision=bf16"])
+                             f"loss_fn={loss_fn}", "precision=bf16"])
     model = build_model(cfg.model, precision="bf16")
     host_batch = make_batch(batch, n, valid, dist=dist)
 
     mesh = T.create_mesh(1)
     state = T.init_state(model, cfg, host_batch, seed=0)
     state = jax.device_put(state, T.replicated(mesh))
-    step = T.jit_train_step(T.make_train_step(model, "deflowLoss"), mesh)
+    step = T.jit_train_step(T.make_train_step(model, loss_fn), mesh)
     dev_batch = T.device_batch(host_batch, mesh)
 
     # NOTE: jax.block_until_ready is unreliable through the axon tunnel (it

@@ -44,8 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 512     # output pillar rows per grid step
-CHUNK = 256      # sorted points DMA'd per inner iteration (swept: 256 > 512 > 128)
+TILE_P = 1024    # output pillar rows per grid step (swept: 1024 > 512 > 2048)
+CHUNK = 256      # sorted points DMAd per inner iteration (swept: 256 > 512 > 128)
 LANE = 128       # feature padding (TPU lane width); id shares the slab
 
 

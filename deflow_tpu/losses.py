@@ -144,7 +144,27 @@ def seflow_loss(
 
     # one batched chamfer instead of a per-sample Python loop: [B, N]/[B, M].
     # At full AV2 scale (131k² pairs) "auto" takes the coarse-grid search —
-    # exact for the truncated loss, ~linear instead of quadratic.
+    # exact for the truncated loss, ~linear instead of quadratic.  With DUFO
+    # labels the grid path fuses the all-points and dynamic-only chamfer
+    # terms into ONE sweep per direction (~55% of two separate calls).
+    from deflow_tpu.ops.chamfer import _AUTO_GRID_PAIRS, ssl_chamfer_distances
+
+    n, m = warped.shape[-2], pc1.shape[-2]
+    use_grid = (chamfer_method == "grid"
+                or (chamfer_method == "auto" and n * m > _AUTO_GRID_PAIRS))
+    if dufo0 is not None and dufo1 is not None and use_grid:
+        dyn0 = m0 & (dufo0 > 0)
+        dyn1 = m1 & (dufo1 > 0)
+        d0, d1, dd0, dd1 = ssl_chamfer_distances(
+            warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate)
+        terms = (_rows_mean(jnp.minimum(d0, t2), m0)
+                 + _rows_mean(jnp.minimum(d1, t2), m1)
+                 + _rows_mean(jnp.minimum(dd0, t2), dyn0)
+                 + _rows_mean(jnp.minimum(dd1, t2), dyn1))
+        static = m0 & (dufo0 == 0)
+        terms = terms + _rows_mean(jnp.sum(net ** 2, axis=-1), static)
+        return jnp.mean(terms)
+
     d0, d1 = chamfer_distance(warped, pc1, m0, m1,
                               method=chamfer_method, truncate=truncate)
     terms = (_rows_mean(jnp.minimum(d0, t2), m0)

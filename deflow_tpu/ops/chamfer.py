@@ -202,6 +202,164 @@ def _grid_min_dist(
     return dist.reshape(-1)[:n], idx.reshape(-1)[:n]
 
 
+def _grid_min_dual(
+    p: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray, q_flag: jnp.ndarray,
+    spec: NNSpec,
+):
+    """One grid sweep, TWO candidate sets: all masked q points, and the
+    ``q_flag``-true subset (SeFlow's dynamic-only chamfer term).  The flag
+    rides a fourth row of the candidate slab, so the second min/argmin costs
+    one extra select chain instead of a full second search+binning pass.
+
+    Returns (d_all [N], i_all [N], d_flag [N], i_flag [N]).
+    """
+    n, m = p.shape[0], q.shape[0]
+    gx, gy = _grid_dims(spec)
+    num_cells = gx * gy
+    cap = spec.capacity
+
+    qx, qy = _bin2d(q, spec, gx, gy)
+    q_ids = jnp.where(q_mask, qy * gx + qx, num_cells)
+    order = jnp.argsort(q_ids)
+    ids_sorted = q_ids[order]
+    q_sorted = q[order].astype(jnp.float32)
+    f_sorted = q_flag[order].astype(jnp.float32)
+
+    cell_iota = jnp.arange(num_cells, dtype=q_ids.dtype)
+    start = jnp.searchsorted(ids_sorted, cell_iota, side="left")
+    end = jnp.searchsorted(ids_sorted, cell_iota, side="right")
+    count = jnp.minimum(end - start, cap)
+    slots = jnp.minimum(start[:, None] + jnp.arange(cap)[None, :], m - 1)
+    pos_t = q_sorted[slots.reshape(-1)].reshape(num_cells, cap, 3)
+    flag_t = f_sorted[slots.reshape(-1)].reshape(num_cells, 1, cap)
+    pos_t = jnp.concatenate(
+        [pos_t.transpose(0, 2, 1), flag_t], axis=1)        # [C, 4, K]
+    idx_tab = order[slots.reshape(-1)].reshape(num_cells, cap).astype(jnp.int32)
+
+    r = spec.ring
+    offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                                indexing="ij"), -1).reshape(-1, 2)
+    flat_offs = offs[:, 0] * gx + offs[:, 1]
+    nb_k = len(offs)
+    ring_pos = jnp.concatenate(
+        [jnp.roll(pos_t, -int(o), axis=0) for o in flat_offs], axis=-1)
+    ring_cnt = jnp.stack([jnp.roll(count, -int(o)) for o in flat_offs], axis=-1)
+    flat_offs_arr = jnp.asarray(flat_offs, jnp.int32)
+
+    chunk = spec.chunk
+    pad = (-n) % chunk
+    p_pad = jnp.concatenate(
+        [p.astype(jnp.float32), jnp.zeros((pad, 3), jnp.float32)], 0
+    ) if pad else p.astype(jnp.float32)
+
+    def body(_, pts):
+        cx, cy = _bin2d(pts, spec, gx, gy)
+        c = cy * gx + cx
+        slab = ring_pos[c]                                 # [chunk, 4, NB·K]
+        cnt = ring_cnt[c]
+        ok = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]
+              ).reshape(chunk, nb_k * cap)
+        dx = pts[:, 0][:, None] - slab[:, 0]
+        dy = pts[:, 1][:, None] - slab[:, 1]
+        dz = pts[:, 2][:, None] - slab[:, 2]
+        d = dx * dx + dy * dy + dz * dz
+
+        def reduce(mask):
+            dm = jnp.where(mask, d, _BIG)
+            best = jnp.min(dm, axis=1)
+            arg = jnp.argmin(dm, axis=1)
+            cell_sel = jnp.mod(c + flat_offs_arr[arg // cap], num_cells)
+            return best, idx_tab[cell_sel, arg % cap]
+
+        best_a, idx_a = reduce(ok)
+        best_f, idx_f = reduce(ok & (slab[:, 3] > 0.5))
+        return _, (best_a, idx_a, best_f, idx_f)
+
+    _, (da, ia, df, i_f) = jax.lax.scan(body, None, p_pad.reshape(-1, chunk, 3))
+    cut = lambda x: x.reshape(-1)[:n]
+    return cut(da), cut(ia), cut(df), cut(i_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
+    """Fused SeFlow NN set: bidirectional all-candidates AND dynamic-only
+    chamfer in one grid sweep per direction (vs four sweeps for two separate
+    ``chamfer_distance`` calls)."""
+    d0a, i0a, d0f, i0f = _grid_min_dual(pc0, pc1, mask1, flag1, spec)
+    d1a, i1a, d1f, i1f = _grid_min_dual(pc1, pc0, mask0, flag0, spec)
+    d0a = jnp.where(mask0, d0a, 0.0)
+    d1a = jnp.where(mask1, d1a, 0.0)
+    d0f = jnp.where(mask0 & flag0, d0f, 0.0)
+    d1f = jnp.where(mask1 & flag1, d1f, 0.0)
+    return d0a, d1a, d0f, d1f, i0a, i1a, i0f, i1f
+
+
+def _ssl_nn_fwd(pc0, pc1, mask0, mask1, flag0, flag1, spec):
+    out = _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec)
+    _, _, _, _, i0a, i1a, i0f, i1f = out
+    return out, (pc0, pc1, mask0, mask1, flag0, flag1, i0a, i1a, i0f, i1f)
+
+
+def _ssl_nn_bwd(spec, res, cts):
+    """Matched-pair subgradients of all four distance sets (the brute
+    extension's autograd, extended to the dynamic-only terms)."""
+    pc0, pc1, m0, m1, f0, f1, i0a, i1a, i0f, i1f = res
+    g0a, g1a, g0f, g1f = cts[:4]
+
+    def w_term(g, pq, qp, idx, row_ok):
+        diff = jnp.where(row_ok[..., None], pq - qp[idx], 0.0)
+        return (2.0 * g)[..., None] * diff
+
+    ok0a = m0 & jnp.any(m1)
+    ok1a = m1 & jnp.any(m0)
+    ok0f = (m0 & f0) & jnp.any(m1 & f1)
+    ok1f = (m1 & f1) & jnp.any(m0 & f0)
+    w0a = w_term(g0a, pc0, pc1, i0a, ok0a)
+    w1a = w_term(g1a, pc1, pc0, i1a, ok1a)
+    w0f = w_term(g0f, pc0, pc1, i0f, ok0f)
+    w1f = w_term(g1f, pc1, pc0, i1f, ok1f)
+
+    d_pc0 = (w0a + w0f).at[i1a].add(-w1a, mode="drop")
+    d_pc0 = d_pc0.at[i1f].add(-w1f, mode="drop")
+    d_pc1 = (w1a + w1f).at[i0a].add(-w0a, mode="drop")
+    d_pc1 = d_pc1.at[i0f].add(-w0f, mode="drop")
+    zeros = [jnp.zeros_like(x, dtype=jax.dtypes.float0)
+             for x in (res[2], res[3], res[4], res[5])]
+    return (d_pc0, d_pc1, *zeros)
+
+
+_ssl_nn.defvjp(_ssl_nn_fwd, _ssl_nn_bwd)
+
+
+def ssl_chamfer_distances(
+    pc0: jnp.ndarray,
+    pc1: jnp.ndarray,
+    mask0: jnp.ndarray,
+    mask1: jnp.ndarray,
+    dyn0: jnp.ndarray,
+    dyn1: jnp.ndarray,
+    truncate: float = 2.0,
+    spec: Optional[NNSpec] = None,
+):
+    """Fused SeFlow chamfer: (d0_all, d1_all, d0_dyn, d1_dyn) squared NN
+    distances, where the *_dyn pair restricts BOTH queries and candidates to
+    the dynamic subsets.  Equivalent to two truncated ``chamfer_distance``
+    grid calls at ~55% of the cost (one binning + one sweep per direction).
+    Exact below ``ring·cell >= truncate`` modulo cell-capacity overflow.
+    """
+    if spec is None:
+        spec = _resolve_spec("grid", pc0.shape[-2], pc1.shape[-2],
+                             truncate, None)
+    pc0 = jnp.where(mask0[..., None], pc0, 0.0).astype(jnp.float32)
+    pc1 = jnp.where(mask1[..., None], pc1, 0.0).astype(jnp.float32)
+    fn = functools.partial(_ssl_nn, spec=spec)
+    if pc0.ndim == 3:
+        out = jax.vmap(fn)(pc0, pc1, mask0, mask1, dyn0, dyn1)
+    else:
+        out = fn(pc0, pc1, mask0, mask1, dyn0, dyn1)
+    return out[:4]
+
+
 def _use_pallas() -> bool:
     from deflow_tpu.ops.voxel import _use_pallas as up
 

@@ -124,6 +124,44 @@ def test_auto_dispatch_scale_threshold():
     assert _resolve_spec("auto", 131072, 131072, None, None).method == "brute"
 
 
+def test_fused_ssl_chamfer_matches_two_calls():
+    """One dual-mask sweep == two separate grid calls (values AND grads)."""
+    from deflow_tpu.ops.chamfer import ssl_chamfer_distances
+
+    p, q, mp, mq = _clouds(seed=9, n=300, m=300)
+    rng = np.random.default_rng(9)
+    f0 = mp & (rng.random(300) < 0.4)
+    f1 = mq & (rng.random(300) < 0.4)
+    args = [jnp.asarray(x) for x in (p, q, mp, mq, f0, f1)]
+
+    def fused(pc0):
+        d0, d1, dd0, dd1 = ssl_chamfer_distances(
+            pc0, *args[1:], truncate=2.0, spec=SPEC)
+        return d0, d1, dd0, dd1
+
+    def two_calls(pc0):
+        d0, d1 = chamfer_distance(pc0, args[1], args[2], args[3], spec=SPEC)
+        dd0, dd1 = chamfer_distance(pc0, args[1], args[4], args[5], spec=SPEC)
+        return d0, d1, dd0, dd1
+
+    fa = fused(args[0])
+    fb = two_calls(args[0])
+    t2 = 4.0
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(jnp.minimum(a, t2)),
+                                   np.asarray(jnp.minimum(b, t2)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(fn, pc0):
+        d0, d1, dd0, dd1 = fn(pc0)
+        return sum(jnp.sum(jnp.minimum(d, t2)) for d in (d0, d1, dd0, dd1))
+
+    ga = jax.grad(lambda x: loss(fused, x))(args[0])
+    gb = jax.grad(lambda x: loss(two_calls, x))(args[0])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_seflow_loss_grid_matches_brute():
     from deflow_tpu.losses import seflow_loss
 

@@ -122,171 +122,201 @@ def _bin2d(pts: jnp.ndarray, spec: NNSpec, gx: int, gy: int):
     return jnp.clip(cc[:, 0], 0, gx - 1), jnp.clip(cc[:, 1], 0, gy - 1)
 
 
-def _grid_min_dist(
-    p: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray, spec: NNSpec
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Coarse-grid pruned NN: exact below ``ring·cell`` (see NNSpec).
-
-    Device-side binning (counting sort): argsort the [M] cell ids, locate
-    per-cell spans with ``searchsorted``, and lay the first ``capacity``
-    points of each cell into a dense [C, K, 3] position table (+ a parallel
-    original-index table).  The query pass scans ``chunk``-point blocks; each
-    block row-gathers its (2r+1)² neighbor cells' K-point slabs and reduces
-    the (chunk, (2r+1)²·K) masked distance tile on the VPU.
-    """
-    n, m = p.shape[0], q.shape[0]
-    gx, gy = _grid_dims(spec)
-    num_cells = gx * gy
-    cap = spec.capacity
-
-    qx, qy = _bin2d(q, spec, gx, gy)
-    q_ids = jnp.where(q_mask, qy * gx + qx, num_cells)  # masked → sentinel
-    order = jnp.argsort(q_ids)
-    ids_sorted = q_ids[order]
-    q_sorted = q[order].astype(jnp.float32)
-
-    cell_iota = jnp.arange(num_cells, dtype=q_ids.dtype)
-    start = jnp.searchsorted(ids_sorted, cell_iota, side="left")
-    end = jnp.searchsorted(ids_sorted, cell_iota, side="right")
-    count = jnp.minimum(end - start, cap)                       # overflow drop
-    slots = jnp.minimum(start[:, None] + jnp.arange(cap)[None, :], m - 1)
-    # candidate table with K on the 128-lane axis ([C, K, 3] would put the
-    # 3-vector minor and waste ~40x of every downstream VPU op)
-    pos_t = q_sorted[slots.reshape(-1)].reshape(num_cells, cap, 3)
-    pos_t = pos_t.transpose(0, 2, 1)                             # [C, 3, K]
-    idx_tab = order[slots.reshape(-1)].reshape(num_cells, cap).astype(jnp.int32)
-
-    # Pre-concatenate each cell's (2r+1)² neighbor ring into ONE table row
-    # ([C, 3, NB·K] via jnp.roll), so every query costs a single row gather —
-    # the search is gather-descriptor-bound on TPU, and this cuts descriptors
-    # (2r+1)²-fold (measured 46 → ~11 ms at 131k).  Rolls wrap at grid edges,
-    # which only ADDS far-away candidates: distances are computed from true
-    # positions, so supersets never change the min below the exactness radius.
-    r = spec.ring
-    offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
-                                indexing="ij"), -1).reshape(-1, 2)
-    flat_offs = offs[:, 0] * gx + offs[:, 1]
-    nb_k = len(offs)
-    ring_pos = jnp.concatenate(
-        [jnp.roll(pos_t, -int(o), axis=0) for o in flat_offs], axis=-1)
-    ring_cnt = jnp.stack(
-        [jnp.roll(count, -int(o)) for o in flat_offs], axis=-1)   # [C, NB]
-    flat_offs_arr = jnp.asarray(flat_offs, jnp.int32)
-
-    chunk = spec.chunk
-    pad = (-n) % chunk
-    p_pad = jnp.concatenate(
-        [p.astype(jnp.float32), jnp.zeros((pad, 3), jnp.float32)], 0
-    ) if pad else p.astype(jnp.float32)
-
-    def body(_, pts):  # pts: [chunk, 3]
-        cx, cy = _bin2d(pts, spec, gx, gy)
-        c = cy * gx + cx                                          # [chunk]
-        slab = ring_pos[c]                                        # [chunk,3,NB·K]
-        cnt = ring_cnt[c]                                         # [chunk, NB]
-        ok = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]
-              ).reshape(chunk, nb_k * cap)
-        dx = pts[:, 0][:, None] - slab[:, 0]
-        dy = pts[:, 1][:, None] - slab[:, 1]
-        dz = pts[:, 2][:, None] - slab[:, 2]
-        d = jnp.where(ok, dx * dx + dy * dy + dz * dz, _BIG)
-        best = jnp.min(d, axis=1)
-        arg = jnp.argmin(d, axis=1)
-        # map back to original q index with ONE scalar gather per query
-        cell_sel = jnp.mod(c + flat_offs_arr[arg // cap], num_cells)
-        bi = idx_tab[cell_sel, arg % cap]
-        return _, (best, bi)
-
-    _, (dist, idx) = jax.lax.scan(
-        body, None, p_pad.reshape(-1, chunk, 3))
-    return dist.reshape(-1)[:n], idx.reshape(-1)[:n]
-
-
-def _grid_min_dual(
-    p: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray, q_flag: jnp.ndarray,
-    spec: NNSpec,
+def _grid_search(
+    p: jnp.ndarray, q: jnp.ndarray, q_mask: jnp.ndarray,
+    q_flag, spec: NNSpec,
 ):
-    """One grid sweep, TWO candidate sets: all masked q points, and the
-    ``q_flag``-true subset (SeFlow's dynamic-only chamfer term).  The flag
-    rides a fourth row of the candidate slab, so the second min/argmin costs
-    one extra select chain instead of a full second search+binning pass.
+    """Flat-batch coarse-grid NN search ([B, N, 3] x [B, M, 3]), exact below
+    ``ring*cell`` (see NNSpec).
 
-    Returns (d_all [N], i_all [N], d_flag [N], i_flag [N]).
+    Deliberately NOT vmapped: the batch is flattened with per-sample id
+    offsets (one sort, one span table, one chunk scan), because vmapping the
+    scan made XLA materialize ~90 ms of 4-D layout copies per SSL step and
+    turned the table build into 1.4M-row element gathers.  Flat-batch
+    specifics:
+
+    - binning: flat id = local cell + b*(C+1) (slot C = per-sample sentinel
+      for masked points, keeping each sample's block contiguous);
+    - ONE multi-operand ``lax.sort`` carries x/y/z/flag/row-id payloads, so
+      sorted positions need no gather at all;
+    - capacity tables are built with [B*C] ``dynamic_slice`` spans over the
+      sorted columns (cells are contiguous spans after the sort) — a few
+      thousand slices instead of B*C*K element gathers;
+    - the 3x3 ring pre-concatenates via ``jnp.roll`` over the flat cell
+      axis; rolls that cross a SAMPLE boundary are masked via a per-slot
+      same-sample check (within-sample edge wraps only add far candidates,
+      which can never win below the exactness radius).
+
+    Returns (d_all [B,N], i_all [B,N]) and, when ``q_flag`` is given, also
+    (d_flag, i_flag) restricted to flag-true candidates.  Indices are local
+    to each sample's q rows; rows whose distance is ``_BIG`` carry
+    meaningless indices (callers only consume idx where d is finite).
     """
-    n, m = p.shape[0], q.shape[0]
+    b, n, _ = p.shape
+    m = q.shape[1]
     gx, gy = _grid_dims(spec)
     num_cells = gx * gy
     cap = spec.capacity
+    dual = q_flag is not None
+    stride = num_cells + 1                      # +1: per-sample sentinel slot
 
-    qx, qy = _bin2d(q, spec, gx, gy)
-    q_ids = jnp.where(q_mask, qy * gx + qx, num_cells)
-    order = jnp.argsort(q_ids)
-    ids_sorted = q_ids[order]
-    q_sorted = q[order].astype(jnp.float32)
-    f_sorted = q_flag[order].astype(jnp.float32)
+    # ---- binning + one payload sort (no position gathers)
+    qf = q.reshape(b * m, 3).astype(jnp.float32)
+    qx, qy = _bin2d(qf, spec, gx, gy)
+    sidx_q = jnp.arange(b * m, dtype=jnp.int32) // m
+    flat_ids = jnp.where(q_mask.reshape(-1), qy * gx + qx, num_cells) \
+        + sidx_q * stride
+    flag = (q_flag.reshape(-1).astype(jnp.float32) if dual
+            else jnp.zeros((b * m,), jnp.float32))
+    riota = jnp.arange(b * m, dtype=jnp.int32)
+    sids, sx, sy, sz, sflag, sorder = jax.lax.sort(
+        (flat_ids, qf[:, 0], qf[:, 1], qf[:, 2], flag, riota), num_keys=1)
 
-    cell_iota = jnp.arange(num_cells, dtype=q_ids.dtype)
-    start = jnp.searchsorted(ids_sorted, cell_iota, side="left")
-    end = jnp.searchsorted(ids_sorted, cell_iota, side="right")
-    count = jnp.minimum(end - start, cap)
-    slots = jnp.minimum(start[:, None] + jnp.arange(cap)[None, :], m - 1)
-    pos_t = q_sorted[slots.reshape(-1)].reshape(num_cells, cap, 3)
-    flag_t = f_sorted[slots.reshape(-1)].reshape(num_cells, 1, cap)
-    pos_t = jnp.concatenate(
-        [pos_t.transpose(0, 2, 1), flag_t], axis=1)        # [C, 4, K]
-    idx_tab = order[slots.reshape(-1)].reshape(num_cells, cap).astype(jnp.int32)
+    # ---- per-cell spans over the sorted flat ids
+    cell_iota = (jnp.arange(b, dtype=jnp.int32)[:, None] * stride
+                 + jnp.arange(num_cells, dtype=jnp.int32)[None, :]).reshape(-1)
+    start = jnp.searchsorted(sids, cell_iota, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(sids, cell_iota, side="right").astype(jnp.int32)
+    count = jnp.minimum(end - start, cap)                    # overflow drop
 
+    # ---- capacity tables: [B*C] contiguous K-slices of the sorted columns.
+    # Explicit lax.gather with slice_sizes=(cap,): one K-row slice per cell
+    # (a vmapped dynamic_slice here lowers to a 10816-iteration while loop of
+    # dynamic-update-slices — ~100 ms/step, measured).
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def table(col):
+        colp = jnp.concatenate([col, jnp.zeros((cap,), col.dtype)])
+        return jax.lax.gather(colp, start[:, None], gdn, slice_sizes=(cap,),
+                              mode=jax.lax.GatherScatterMode.CLIP)
+
+    rows = [table(sx), table(sy), table(sz)] + ([table(sflag)] if dual else [])
+    pos_t = jnp.stack(rows, axis=1)                          # [B*C, R, K]
+    idx_t = table(sorder)                                    # [B*C, K] flat rows
+
+    # ---- ring pre-concat over the flat cell axis
     r = spec.ring
     offs = np.stack(np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
                                 indexing="ij"), -1).reshape(-1, 2)
     flat_offs = offs[:, 0] * gx + offs[:, 1]
     nb_k = len(offs)
+    nr = pos_t.shape[1]
+    # 2-D [B*C, R*NB*K] lane layout: the in-loop slab gather then produces a
+    # plain 2-D tensor whose R-planes are STATIC lane slices (the 3-D form
+    # cost an extra ~9 ms/direction layout copy per scan step, measured)
     ring_pos = jnp.concatenate(
-        [jnp.roll(pos_t, -int(o), axis=0) for o in flat_offs], axis=-1)
-    ring_cnt = jnp.stack([jnp.roll(count, -int(o)) for o in flat_offs], axis=-1)
+        [jnp.roll(pos_t, -int(o), axis=0) for o in flat_offs],
+        axis=-1).reshape(b * num_cells, nr * nb_k * cap)
+    ring_cnt = jnp.stack([jnp.roll(count, -int(o)) for o in flat_offs], -1)
+    samp = jnp.arange(b * num_cells, dtype=jnp.int32) // num_cells
+    ring_same = jnp.stack(
+        [jnp.roll(samp, -int(o)) == samp for o in flat_offs], -1)
+    ring_cnt = jnp.where(ring_same, ring_cnt, 0)             # [B*C, NB]
     flat_offs_arr = jnp.asarray(flat_offs, jnp.int32)
 
+    # ---- chunked query scan
     chunk = spec.chunk
-    pad = (-n) % chunk
-    p_pad = jnp.concatenate(
-        [p.astype(jnp.float32), jnp.zeros((pad, 3), jnp.float32)], 0
-    ) if pad else p.astype(jnp.float32)
+    pad = (-(b * n)) % chunk
+    pf = p.reshape(b * n, 3).astype(jnp.float32)
+    if pad:
+        pf = jnp.concatenate([pf, jnp.zeros((pad, 3), jnp.float32)])
+    qrows = jnp.arange(pf.shape[0], dtype=jnp.int32)
+    nbk_cap = nb_k * cap
 
-    def body(_, pts):
+    def body(_, inp):
+        pts, rows_g = inp                                    # [chunk,3],[chunk]
+        sb = jnp.minimum(rows_g // n, b - 1)
         cx, cy = _bin2d(pts, spec, gx, gy)
-        c = cy * gx + cx
-        slab = ring_pos[c]                                 # [chunk, 4, NB·K]
+        c = sb * num_cells + cy * gx + cx                    # [chunk]
+        slab = ring_pos[c]                                   # [chunk,R*NB*K]
+        plane = lambda i: jax.lax.slice_in_dim(
+            slab, i * nbk_cap, (i + 1) * nbk_cap, axis=1)
         cnt = ring_cnt[c]
         ok = (jnp.arange(cap)[None, None, :] < cnt[:, :, None]
               ).reshape(chunk, nb_k * cap)
-        dx = pts[:, 0][:, None] - slab[:, 0]
-        dy = pts[:, 1][:, None] - slab[:, 1]
-        dz = pts[:, 2][:, None] - slab[:, 2]
+        dx = pts[:, 0][:, None] - plane(0)
+        dy = pts[:, 1][:, None] - plane(1)
+        dz = pts[:, 2][:, None] - plane(2)
         d = dx * dx + dy * dy + dz * dz
 
         def reduce(mask):
             dm = jnp.where(mask, d, _BIG)
             best = jnp.min(dm, axis=1)
             arg = jnp.argmin(dm, axis=1)
-            cell_sel = jnp.mod(c + flat_offs_arr[arg // cap], num_cells)
-            return best, idx_tab[cell_sel, arg % cap]
+            cs = jnp.mod(c + flat_offs_arr[arg // cap], b * num_cells)
+            bi = idx_t[cs, arg % cap] - sb * m               # sample-local
+            return best, bi
 
-        best_a, idx_a = reduce(ok)
-        best_f, idx_f = reduce(ok & (slab[:, 3] > 0.5))
-        return _, (best_a, idx_a, best_f, idx_f)
+        out = reduce(ok)
+        if dual:
+            out = out + reduce(ok & (plane(3) > 0.5))
+        return _, out
 
-    _, (da, ia, df, i_f) = jax.lax.scan(body, None, p_pad.reshape(-1, chunk, 3))
-    cut = lambda x: x.reshape(-1)[:n]
-    return cut(da), cut(ia), cut(df), cut(i_f)
+    nchunks = pf.shape[0] // chunk
+    _, outs = jax.lax.scan(
+        body, None, (pf.reshape(nchunks, chunk, 3),
+                     qrows.reshape(nchunks, chunk)))
+    cut = lambda x: x.reshape(-1)[: b * n].reshape(b, n)
+    return tuple(cut(x) for x in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _chamfer_nn_grid(pc0, pc1, mask0, mask1, spec):
+    """Batched bidirectional grid NN: (d0, d1, i0, i1), each [B, *]."""
+    d0, i0 = _grid_search(pc0, pc1, mask1, None, spec)
+    d1, i1 = _grid_search(pc1, pc0, mask0, None, spec)
+    d0 = jnp.where(mask0, d0, 0.0)
+    d1 = jnp.where(mask1, d1, 0.0)
+    return d0, d1, i0, i1
+
+
+def _chamfer_nn_grid_fwd(pc0, pc1, mask0, mask1, spec):
+    out = _chamfer_nn_grid(pc0, pc1, mask0, mask1, spec)
+    d0, d1, i0, i1 = out
+    return out, (pc0, pc1, mask0, mask1, i0, i1)
+
+
+def _take_rows(x, i):
+    """[B, M, 3] gathered at [B, N] per-sample indices -> [B, N, 3]."""
+    return jnp.take_along_axis(x, jnp.clip(i, 0, x.shape[1] - 1)[..., None],
+                               axis=1)
+
+
+def _scatter_rows(base, i, w):
+    """base[b].at[i[b]].add(w[b]) with out-of-range drop."""
+    return jax.vmap(lambda bb, ii, ww: bb.at[ii].add(ww, mode="drop"))(
+        base, i, w)
+
+
+def _chamfer_nn_grid_bwd(spec, res, cts):
+    """Matched-pair subgradient (the CUDA extension autograd), batched."""
+    pc0, pc1, mask0, mask1, i0, i1 = res
+    g0, g1, _, _ = cts
+
+    both0 = (mask0 & jnp.any(mask1, axis=-1, keepdims=True))[..., None]
+    both1 = (mask1 & jnp.any(mask0, axis=-1, keepdims=True))[..., None]
+    diff0 = jnp.where(both0, pc0 - _take_rows(pc1, i0), 0.0)
+    diff1 = jnp.where(both1, pc1 - _take_rows(pc0, i1), 0.0)
+    w0 = (2.0 * g0)[..., None] * diff0
+    w1 = (2.0 * g1)[..., None] * diff1
+    d_pc0 = _scatter_rows(w0, i1, -w1)
+    d_pc1 = _scatter_rows(w1, i0, -w0)
+    zero_m0 = jnp.zeros(mask0.shape, dtype=jax.dtypes.float0)
+    zero_m1 = jnp.zeros(mask1.shape, dtype=jax.dtypes.float0)
+    return d_pc0, d_pc1, zero_m0, zero_m1
+
+
+_chamfer_nn_grid.defvjp(_chamfer_nn_grid_fwd, _chamfer_nn_grid_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
-    """Fused SeFlow NN set: bidirectional all-candidates AND dynamic-only
-    chamfer in one grid sweep per direction (vs four sweeps for two separate
-    ``chamfer_distance`` calls)."""
-    d0a, i0a, d0f, i0f = _grid_min_dual(pc0, pc1, mask1, flag1, spec)
-    d1a, i1a, d1f, i1f = _grid_min_dual(pc1, pc0, mask0, flag0, spec)
+    """Fused SeFlow NN set (batched): bidirectional all-candidates AND
+    dynamic-only chamfer in one grid sweep per direction (vs four sweeps for
+    two separate ``chamfer_distance`` calls)."""
+    d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
+    d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
     d0a = jnp.where(mask0, d0a, 0.0)
     d1a = jnp.where(mask1, d1a, 0.0)
     d0f = jnp.where(mask0 & flag0, d0f, 0.0)
@@ -307,23 +337,21 @@ def _ssl_nn_bwd(spec, res, cts):
     g0a, g1a, g0f, g1f = cts[:4]
 
     def w_term(g, pq, qp, idx, row_ok):
-        diff = jnp.where(row_ok[..., None], pq - qp[idx], 0.0)
+        diff = jnp.where(row_ok[..., None], pq - _take_rows(qp, idx), 0.0)
         return (2.0 * g)[..., None] * diff
 
-    ok0a = m0 & jnp.any(m1)
-    ok1a = m1 & jnp.any(m0)
-    ok0f = (m0 & f0) & jnp.any(m1 & f1)
-    ok1f = (m1 & f1) & jnp.any(m0 & f0)
-    w0a = w_term(g0a, pc0, pc1, i0a, ok0a)
-    w1a = w_term(g1a, pc1, pc0, i1a, ok1a)
-    w0f = w_term(g0f, pc0, pc1, i0f, ok0f)
-    w1f = w_term(g1f, pc1, pc0, i1f, ok1f)
+    any1 = jnp.any(m1, axis=-1, keepdims=True)
+    any0 = jnp.any(m0, axis=-1, keepdims=True)
+    anyf1 = jnp.any(m1 & f1, axis=-1, keepdims=True)
+    anyf0 = jnp.any(m0 & f0, axis=-1, keepdims=True)
+    w0a = w_term(g0a, pc0, pc1, i0a, m0 & any1)
+    w1a = w_term(g1a, pc1, pc0, i1a, m1 & any0)
+    w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
+    w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)
 
-    d_pc0 = (w0a + w0f).at[i1a].add(-w1a, mode="drop")
-    d_pc0 = d_pc0.at[i1f].add(-w1f, mode="drop")
-    d_pc1 = (w1a + w1f).at[i0a].add(-w0a, mode="drop")
-    d_pc1 = d_pc1.at[i0f].add(-w0f, mode="drop")
-    zeros = [jnp.zeros_like(x, dtype=jax.dtypes.float0)
+    d_pc0 = _scatter_rows(_scatter_rows(w0a + w0f, i1a, -w1a), i1f, -w1f)
+    d_pc1 = _scatter_rows(_scatter_rows(w1a + w1f, i0a, -w0a), i0f, -w0f)
+    zeros = [jnp.zeros(x.shape, dtype=jax.dtypes.float0)
              for x in (res[2], res[3], res[4], res[5])]
     return (d_pc0, d_pc1, *zeros)
 
@@ -345,19 +373,18 @@ def ssl_chamfer_distances(
     distances, where the *_dyn pair restricts BOTH queries and candidates to
     the dynamic subsets.  Equivalent to two truncated ``chamfer_distance``
     grid calls at ~55% of the cost (one binning + one sweep per direction).
-    Exact below ``ring·cell >= truncate`` modulo cell-capacity overflow.
+    Exact below ``ring*cell >= truncate`` modulo cell-capacity overflow.
     """
     if spec is None:
         spec = _resolve_spec("grid", pc0.shape[-2], pc1.shape[-2],
                              truncate, None)
-    pc0 = jnp.where(mask0[..., None], pc0, 0.0).astype(jnp.float32)
-    pc1 = jnp.where(mask1[..., None], pc1, 0.0).astype(jnp.float32)
-    fn = functools.partial(_ssl_nn, spec=spec)
-    if pc0.ndim == 3:
-        out = jax.vmap(fn)(pc0, pc1, mask0, mask1, dyn0, dyn1)
-    else:
-        out = fn(pc0, pc1, mask0, mask1, dyn0, dyn1)
-    return out[:4]
+    batched = pc0.ndim == 3
+    up = (lambda x: x) if batched else (lambda x: x[None])
+    args = [jnp.where(up(mask0)[..., None], up(pc0), 0.0).astype(jnp.float32),
+            jnp.where(up(mask1)[..., None], up(pc1), 0.0).astype(jnp.float32),
+            up(mask0), up(mask1), up(dyn0), up(dyn1)]
+    out = _ssl_nn(*args, spec)[:4]
+    return tuple(x if batched else x[0] for x in out)
 
 
 def _use_pallas() -> bool:
@@ -367,9 +394,10 @@ def _use_pallas() -> bool:
 
 
 def _nn_search(p, q, q_mask, spec: NNSpec):
-    """Backend dispatch: (dist [N] f32 squared, idx [N] i32)."""
-    if spec.method == "grid":
-        return _grid_min_dist(p, q, q_mask, spec)
+    """Brute backend dispatch: (dist [N] f32 squared, idx [N] i32).
+
+    (The grid method never reaches here — ``chamfer_distance`` routes it to
+    the flat-batch ``_chamfer_nn_grid``.)"""
     if _use_pallas():
         from deflow_tpu.ops.pallas_chamfer import chamfer_min_pallas
 
@@ -474,11 +502,17 @@ def chamfer_distance(
     rspec = _resolve_spec(method, pc0.shape[-2], pc1.shape[-2], truncate, spec)
     if rspec.method == "brute" and tile != 2048:
         rspec = rspec._replace(tile=tile)
-    fn = functools.partial(_chamfer_nn, spec=rspec)
-    if batched:
+    if rspec.method == "grid":
+        # flat-batch implementation (handles [B, N, 3] natively; see
+        # _grid_search for why it is not vmapped)
+        up = (lambda x: x) if batched else (lambda x: x[None])
+        out = _chamfer_nn_grid(up(pc0), up(pc1), up(mask0), up(mask1), rspec)
+        d0, d1, i0, i1 = (x if batched else x[0] for x in out)
+    elif batched:
+        fn = functools.partial(_chamfer_nn, spec=rspec)
         d0, d1, i0, i1 = jax.vmap(fn)(pc0, pc1, mask0, mask1)
     else:
-        d0, d1, i0, i1 = fn(pc0, pc1, mask0, mask1)
+        d0, d1, i0, i1 = _chamfer_nn(pc0, pc1, mask0, mask1, rspec)
     if return_idx:
         return d0, d1, i0, i1
     return d0, d1

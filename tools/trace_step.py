@@ -34,14 +34,15 @@ def capture(out_dir: str, steps: int):
     from deflow_tpu import trainer as T
 
     batch, n, valid = 4, int(os.environ.get("BENCH_N", 98304)), 86016
+    loss_fn = os.environ.get("BENCH_LOSS", "deflowLoss")
     cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
-                             "loss_fn=deflowLoss", "precision=bf16"])
+                             f"loss_fn={loss_fn}", "precision=bf16"])
     model = build_model(cfg.model, precision="bf16")
     host_batch = make_batch(batch, n, valid)
     mesh = T.create_mesh(1)
     state = T.init_state(model, cfg, host_batch, seed=0)
     state = jax.device_put(state, T.replicated(mesh))
-    step = T.jit_train_step(T.make_train_step(model, "deflowLoss"), mesh)
+    step = T.jit_train_step(T.make_train_step(model, loss_fn), mesh)
     dev_batch = T.device_batch(host_batch, mesh)
 
     for _ in range(2):  # compile + warm

@@ -139,9 +139,10 @@ def _grid_search(
       for masked points, keeping each sample's block contiguous);
     - ONE multi-operand ``lax.sort`` carries x/y/z/flag/row-id payloads, so
       sorted positions need no gather at all;
-    - capacity tables are built with [B*C] ``dynamic_slice`` spans over the
-      sorted columns (cells are contiguous spans after the sort) — a few
-      thousand slices instead of B*C*K element gathers;
+    - capacity tables are built with one [B*C]-row ``lax.gather`` of
+      ``(cap,)`` slices over the sorted columns (cells are contiguous spans
+      after the sort) — a few thousand slices instead of B*C*K element
+      gathers;
     - the 3x3 ring pre-concatenates via ``jnp.roll`` over the flat cell
       axis; rolls that cross a SAMPLE boundary are masked via a per-slot
       same-sample check (within-sample edge wraps only add far candidates,

@@ -1,6 +1,6 @@
 """Coarse-grid chamfer backend: exactness under truncation vs brute force.
 
-The grid search (ops/chamfer.py::_grid_min_dist) replaces the reference's
+The grid search (ops/chamfer.py::_grid_search) replaces the reference's
 brute-force chamfer3D CUDA extension (reference README.md:39) at full AV2
 scale: binned 2 m XY cells + 3x3 neighbor search, exact for every NN distance
 below ring*cell, which is all the truncated SSL loss can see.

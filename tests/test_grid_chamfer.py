@@ -118,6 +118,31 @@ def test_capacity_overflow_only_overestimates():
     assert float(np.median(np.asarray(d0)[mp] - bd0[mp])) < 0.3
 
 
+def test_grid_batched_empty_sample():
+    """Flat-batch core with one fully-masked sample: no NaNs, zero rows,
+    and the other sample stays exact (blocks must not bleed)."""
+    p0, q0, mp0, mq0 = _clouds(seed=4, n=256, m=256)
+    p = np.stack([p0, p0])
+    q = np.stack([q0, q0])
+    mp = np.stack([mp0, np.zeros_like(mp0)])
+    mq = np.stack([mq0, np.zeros_like(mq0)])
+    d0, d1 = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                              jnp.asarray(mp), jnp.asarray(mq), spec=SPEC)
+    assert np.all(np.isfinite(np.asarray(d0)))
+    assert np.all(np.asarray(d0)[1] == 0.0) and np.all(np.asarray(d1)[1] == 0.0)
+    bd0, _ = _brute(p0, q0, mq0)
+    near = mp0 & (bd0 < 4.0)
+    np.testing.assert_allclose(np.asarray(d0)[0][near], bd0[near],
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients through the empty sample must be exactly zero
+    g = jax.grad(lambda x: float(0) + jnp.sum(jnp.minimum(
+        chamfer_distance(x, jnp.asarray(q), jnp.asarray(mp),
+                         jnp.asarray(mq), spec=SPEC)[0], 4.0)))(jnp.asarray(p))
+    assert np.all(np.asarray(g)[1] == 0.0)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_auto_dispatch_scale_threshold():
     assert _resolve_spec("auto", 131072, 131072, 2.0, None).method == "grid"
     assert _resolve_spec("auto", 4096, 4096, 2.0, None).method == "brute"

@@ -29,6 +29,9 @@ import numpy as np
 
 _BIG = 3.0e38  # finite +inf stand-in (keeps bf16/f32 arithmetic NaN-free)
 
+# below this many rows the XLA scatter-add beats the sort+kernel detour
+_SCATTER_PALLAS_MIN = 1 << 16
+
 
 class NNSpec(NamedTuple):
     """Static (hashable) nearest-neighbor search configuration.
@@ -285,9 +288,34 @@ def _take_rows(x, i):
 
 
 def _scatter_rows(base, i, w):
-    """base[b].at[i[b]].add(w[b]) with out-of-range drop."""
-    return jax.vmap(lambda bb, ii, ww: bb.at[ii].add(ww, mode="drop"))(
-        base, i, w)
+    """base[b].at[i[b]].add(w[b]) with out-of-range drop.
+
+    XLA lowers the scatter-add at ~40 ns/row (15.8 ms at 393k rows,
+    measured) — on TPU it is reformulated as sort-by-index + the presorted
+    Pallas segment-sum kernel (~4 ms): duplicate indices become segment
+    spans, exactly the kernel's contract."""
+    b, n_rows, _ = base.shape
+    m = i.shape[1]
+    if not (_use_pallas() and b * m >= _SCATTER_PALLAS_MIN):
+        return jax.vmap(lambda bb, ii, ww: bb.at[ii].add(ww, mode="drop"))(
+            base, i, w)
+    from deflow_tpu.ops.pallas_scatter import (
+        CHUNK, TILE_P, ScatterPlan, _round_up, pillar_sum_scatter_pallas)
+
+    segs = b * n_rows
+    sentinel = _round_up(segs, TILE_P) + 1
+    off = (jnp.arange(b, dtype=jnp.int32) * n_rows)[:, None]
+    flat_i = jnp.where((i >= 0) & (i < n_rows), i + off,
+                       sentinel).reshape(b * m)
+    wf = w.reshape(b * m, 3).astype(jnp.float32)
+    sidx, swx, swy, swz = jax.lax.sort(
+        (flat_i, wf[:, 0], wf[:, 1], wf[:, 2]), num_keys=1)
+    n_pad = _round_up(b * m, CHUNK)
+    sorted_pid = jnp.pad(sidx, (0, n_pad - b * m), constant_values=sentinel)
+    plan = ScatterPlan(sidx, None, sorted_pid.astype(jnp.int32))
+    w_sorted = jnp.stack([swx, swy, swz], axis=-1)
+    added = pillar_sum_scatter_pallas(w_sorted, sidx, segs, plan=plan)
+    return base + added.reshape(b, n_rows, 3).astype(base.dtype)
 
 
 def _chamfer_nn_grid_bwd(spec, res, cts):

@@ -143,6 +143,32 @@ def test_grid_batched_empty_sample():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_vjp_scatter_pallas_path(monkeypatch):
+    """The sort+Pallas-segment-sum mirror scatter == the XLA scatter-add."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    import deflow_tpu.ops.voxel as V
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+    import deflow_tpu.ops.chamfer as CH
+    monkeypatch.setattr(CH, "_SCATTER_PALLAS_MIN", 1)
+
+    rng = np.random.default_rng(13)
+    b, n_rows, m = 2, 300, 400
+    base = rng.normal(size=(b, n_rows, 3)).astype(np.float32)
+    i = rng.integers(-5, n_rows + 5, (b, m)).astype(np.int32)  # some dropped
+    w = rng.normal(size=(b, m, 3)).astype(np.float32)
+    out = CH._scatter_rows(jnp.asarray(base), jnp.asarray(i), jnp.asarray(w))
+    ref = base.copy()
+    for bb in range(b):
+        for k in range(m):
+            if 0 <= i[bb, k] < n_rows:
+                ref[bb, i[bb, k]] += w[bb, k]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_auto_dispatch_scale_threshold():
     assert _resolve_spec("auto", 131072, 131072, 2.0, None).method == "grid"
     assert _resolve_spec("auto", 4096, 4096, 2.0, None).method == "brute"

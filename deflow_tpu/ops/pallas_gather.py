@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK_N = 1024   # sorted output rows per grid step (matches XLA's T(1024)
                  # tiling for the 1D s32 ids operand — Mosaic requires it)
-W = 512          # table rows per window DMA
+W = 512          # table rows per window DMA (swept: 512 ~ 1024)
 
 
 def _round_up(x: int, m: int) -> int:

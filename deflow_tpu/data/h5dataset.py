@@ -321,18 +321,34 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        abandoned = threading.Event()
 
         def worker():
             try:
                 for b in gen():
-                    q.put(b)
+                    # Bounded put so the thread exits (releasing h5 handles)
+                    # if the consumer abandons iteration mid-epoch.
+                    while not abandoned.is_set():
+                        try:
+                            q.put(b, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             finally:
-                q.put(sentinel)
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            abandoned.set()

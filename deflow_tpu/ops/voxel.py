@@ -501,7 +501,10 @@ def _gather_planned(image_flat, pillar_id, valid, plan):
         from deflow_tpu.ops.pallas_gather import sorted_rows_gather_pallas
 
         boff = (jnp.arange(b, dtype=jnp.int32) * p)[:, None]
-        flat_ids = jnp.where(pillar_id < p, pillar_id + boff,
+        # Both PillarInfo producers guarantee pillar_id < num_pillars iff
+        # valid, but fold `valid` into the sentinel anyway so a future
+        # producer breaking that invariant can't silently read stale rows.
+        flat_ids = jnp.where(valid & (pillar_id < p), pillar_id + boff,
                              jnp.int32(2**30)).reshape(b * pillar_id.shape[1])
         out = sorted_rows_gather_pallas(
             image_flat.reshape(b * p, c), flat_ids, b * p)

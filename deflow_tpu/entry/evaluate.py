@@ -168,7 +168,8 @@ def main(cfg: Optional[Config] = None) -> Dict[str, float]:
         cfg = from_cli(config_name="config")
 
     mesh = T.create_mesh(int(cfg.get("num_devices", -1)))
-    model = build_model(cfg.model, precision=str(cfg.get("precision", "fp32")))
+    model = build_model(cfg.model, precision=str(cfg.get("precision", "fp32")),
+                        num_frames=int(cfg.get("num_frames", 2)))
     mode = str(cfg.get("av2_mode", "val"))
     split_dir = str(cfg.val_data) if mode == "val" else os.path.join(
         str(cfg.dataset_path), "test")

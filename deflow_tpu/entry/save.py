@@ -34,7 +34,8 @@ def main(cfg: Optional[Config] = None) -> str:
                      remove_ground=bool(cfg.remove_ground), with_labels=False)
 
     mesh = T.create_mesh(int(cfg.get("num_devices", -1)))
-    model = build_model(cfg.model, precision=str(cfg.get("precision", "fp32")))
+    model = build_model(cfg.model, precision=str(cfg.get("precision", "fp32")),
+                        num_frames=int(cfg.get("num_frames", 2)))
     sample = ds[0]
     sample_batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else v)
                     for k, v in sample.items()}

@@ -56,7 +56,8 @@ def main(cfg: Optional[Config] = None) -> dict:
                               seed=int(cfg.seed), post_collate=post,
                               num_workers=workers)
 
-    model = build_model(cfg.model, precision=str(cfg.get("precision", "bf16")))
+    model = build_model(cfg.model, precision=str(cfg.get("precision", "bf16")),
+                        num_frames=int(cfg.get("num_frames", 2)))
     sample = next(iter(DataLoader(train_ds, batch_size, shuffle=False)))
     state = T.init_state(model, cfg, sample, seed=int(cfg.seed))
     state = jax.device_put(state, T.replicated(mesh))
@@ -79,7 +80,8 @@ def main(cfg: Optional[Config] = None) -> dict:
 
     train_step = T.jit_train_step(
         T.make_train_step(model, str(cfg.loss_fn),
-                          remat=bool(cfg.get("remat", False))), mesh)
+                          remat=bool(cfg.get("remat", False)), mesh=mesh),
+        mesh)
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
     epochs = int(cfg.epochs)

@@ -108,6 +108,7 @@ def seflow_loss(
     batch: Dict[str, jnp.ndarray],
     truncate: float = 2.0,
     chamfer_method: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """SeFlow self-supervised loss (arXiv:2407.01702 §IV) [T3 semantics].
 
@@ -155,8 +156,25 @@ def seflow_loss(
     if dufo0 is not None and dufo1 is not None and use_grid:
         dyn0 = m0 & (dufo0 > 0)
         dyn1 = m1 & (dufo1 > 0)
-        d0, d1, dd0, dd1 = ssl_chamfer_distances(
-            warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate)
+        if mesh is not None and mesh.devices.size > 1:
+            # The grid chamfer's flat-batch lax.sort spans the whole batch;
+            # under GSPMD a batch-sharded sort becomes a cross-device
+            # all-gather.  Samples are independent (per-sample id offsets),
+            # so shard_map over the data axis keeps every sort local to its
+            # chip — same values, zero collectives inside the loss.
+            import functools as _ft
+
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as _P
+
+            nn = shard_map(
+                _ft.partial(ssl_chamfer_distances, truncate=truncate),
+                mesh=mesh, in_specs=(_P("data"),) * 6,
+                out_specs=(_P("data"),) * 4, check_vma=False)
+            d0, d1, dd0, dd1 = nn(warped, pc1, m0, m1, dyn0, dyn1)
+        else:
+            d0, d1, dd0, dd1 = ssl_chamfer_distances(
+                warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate)
         terms = (_rows_mean(jnp.minimum(d0, t2), m0)
                  + _rows_mean(jnp.minimum(d1, t2), m1)
                  + _rows_mean(jnp.minimum(dd0, t2), dyn0)

@@ -47,6 +47,11 @@ class DeFlow(nn.Module):
     decoder_option: str = "gru"  # gru | linear | mmhead
     num_iters: int = 4
     feat_channels: int = 32
+    # num_frames > 2 (SeFlow-lineage multi-frame history, the loader's
+    # ``pch{h}`` keys): each history frame is ego-compensated into pc1's
+    # frame, embedded by the SAME siamese embedder, and channel-concatenated
+    # into the pc0 pseudoimage before the UNet.  2 = the reference DeFlow.
+    num_frames: int = 2
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -73,6 +78,11 @@ class DeFlow(nn.Module):
             self.head = MMHeadDecoder(dtype=self.dtype, name="head")
         else:
             raise ValueError(f"unknown decoder_option: {self.decoder_option!r}")
+        if self.num_frames > 2:
+            # per-pillar linear fusion of (pc0, history…) embeddings back to
+            # feat_channels, so the siamese UNet sees its usual channel width
+            self.history_fuse = nn.Dense(self.feat_channels,
+                                         dtype=self.dtype, name="history_fuse")
 
     def __call__(
         self,
@@ -85,6 +95,7 @@ class DeFlow(nn.Module):
         ego_motion: Optional[jnp.ndarray] = None,
         train: bool = False,
         host_prep: Optional[Dict[str, jnp.ndarray]] = None,
+        history: Optional[Sequence[Dict[str, jnp.ndarray]]] = None,
     ) -> Dict[str, jnp.ndarray]:
         # Ego-motion compensation in f32 regardless of compute dtype: poses
         # carry ~1e3-scale translations where bf16 would cost millimeters.
@@ -121,6 +132,36 @@ class DeFlow(nn.Module):
         img1, info1, _ = self.embedder(
             pc1.astype(jnp.float32), pc1_mask, train, host=host_for("pc1"))
 
+        if self.num_frames > 2:
+            # history frames (loader keys pch1 = frame before pc0, …):
+            # compensate each into pc1's frame (pose_h→1), embed with the
+            # shared embedder, widen the pc0 pseudoimage channel-wise — the
+            # UNet stem convs absorb the extra channels (new params iff
+            # enabled; num_frames=2 keeps exact checkpoint compatibility)
+            assert history is not None and len(history) == self.num_frames - 2, (
+                f"num_frames={self.num_frames} model needs "
+                f"{self.num_frames - 2} history frames (loader num_frames=)")
+            from deflow_tpu.models.unet import _phase_merge, _phase_split
+
+            imgs_h = []
+            for h in history:
+                pose_h1 = cal_pose0to1(h["pose"].astype(jnp.float32),
+                                       pose1.astype(jnp.float32))
+                pts_h = transform_points(h["pc"].astype(jnp.float32), pose_h1)
+                img_h, _, _ = self.embedder(pts_h, h["mask"], train)
+                imgs_h.append(img_h)
+            if self.voxel_cfg.use_s2d:
+                # fuse per PHASE (per original pillar), not across the folded
+                # 2x2 block — a plain 1x1 conv on the folded image would mix
+                # spatial neighbors
+                cat = jnp.concatenate(
+                    [_phase_split(img0)] + [_phase_split(i) for i in imgs_h],
+                    axis=-1)
+                img0 = _phase_merge(self.history_fuse(cat))
+            else:
+                img0 = self.history_fuse(
+                    jnp.concatenate([img0] + imgs_h, axis=-1))
+
         grid_flow_img = self.backbone(img0, img1, train)
         # flat id-ordered pillar tables for the per-point heads (pure
         # reshapes under either image layout; rows = pillar ids)
@@ -140,7 +181,8 @@ class DeFlow(nn.Module):
         }
 
 
-def build_model(model_cfg, precision: str = "fp32") -> DeFlow:
+def build_model(model_cfg, precision: str = "fp32",
+                num_frames: int = 2) -> DeFlow:
     """Instantiate from a composed config's ``model.target`` node
     (the Hydra ``_target_`` contract, reference conf/model/*.yaml)."""
     target = model_cfg.target if "target" in model_cfg else model_cfg
@@ -162,5 +204,6 @@ def build_model(model_cfg, precision: str = "fp32") -> DeFlow:
         decoder_option=str(target.decoder_option),
         num_iters=int(target.num_iters),
         feat_channels=int(target.get("feat_channels", 32)),
+        num_frames=max(2, int(num_frames)),
         dtype=dtype,
     )

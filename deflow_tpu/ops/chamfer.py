@@ -265,11 +265,128 @@ def _grid_search(
     return tuple(cut(x) for x in outs)
 
 
+class _SweepCloud(NamedTuple):
+    """One cloud payload-sorted by gap-row flat cell id (see pallas_sweep)."""
+
+    sid: jnp.ndarray       # [B*N] i32 ascending flat cell ids
+    sx: jnp.ndarray        # [B*N] f32 sorted coordinates
+    sy: jnp.ndarray
+    sz: jnp.ndarray
+    sflag: jnp.ndarray     # [B*N] f32 sorted dynamic flags
+    sglobal: jnp.ndarray   # [B*N] f32 original global rows (b*N + i)
+    start: jnp.ndarray     # [C_total + 1] i32 per-cell span starts
+    n: int                 # points per sample
+    c_total: int           # B * (gy+1) * gx
+
+
+def _sweep_sort(pts, mask, flag, spec: NNSpec) -> _SweepCloud:
+    """Bin + ONE payload sort into the kernel's gap-row cell order.
+
+    Flat id = (b·(gy+1) + cy)·gx + cx — one empty gap ROW between samples, so
+    the kernel's |Δrow| ≤ 1 test is simultaneously the ring test and the
+    sample-isolation test.  Masked points get the one-past-the-end sentinel
+    (they sort to the global tail; all-sentinel query chunks do zero work)."""
+    b, n, _ = pts.shape
+    gx, gy = _grid_dims(spec)
+    c_total = b * (gy + 1) * gx
+    pf = pts.reshape(b * n, 3).astype(jnp.float32)
+    cx, cy = _bin2d(pf, spec, gx, gy)
+    sidx = jnp.arange(b * n, dtype=jnp.int32) // n
+    ids = jnp.where(mask.reshape(-1),
+                    (sidx * (gy + 1) + cy) * gx + cx, c_total)
+    flagf = (flag.reshape(-1).astype(jnp.float32) if flag is not None
+             else jnp.zeros((b * n,), jnp.float32))
+    grows = jnp.arange(b * n, dtype=jnp.float32)
+    sid, sx, sy, sz, sflag, sglobal = jax.lax.sort(
+        (ids, pf[:, 0], pf[:, 1], pf[:, 2], flagf, grows), num_keys=1)
+    start = jnp.searchsorted(
+        sid, jnp.arange(c_total + 1, dtype=jnp.int32)).astype(jnp.int32)
+    return _SweepCloud(sid, sx, sy, sz, sflag, sglobal, start, n, c_total)
+
+
+def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
+    """One sweep direction through the Pallas kernel: per ORIGINAL query row
+    (d_all [B,N], i_all, d_flag, i_flag) with i = sample-local candidate rows
+    (−1 / garbage where d is the no-candidate sentinel, as in the XLA path).
+    """
+    from deflow_tpu.ops.pallas_sweep import (
+        CHUNK_C, CHUNK_Q, cell_sweep_pallas)
+
+    gx = _grid_dims(spec)[0]
+    bn = qc.sid.shape[0]
+    b = bn // qc.n
+    nq_pad = -(-bn // CHUNK_Q) * CHUNK_Q
+
+    # ---- query slab [NQ_pad, 8]: x, y, z, row, col (exact small floats)
+    sid_pad = jnp.pad(qc.sid, (0, nq_pad - bn), constant_values=qc.c_total)
+    qrow = (sid_pad // gx).astype(jnp.float32)
+    qcol = (sid_pad % gx).astype(jnp.float32)
+    zero_q = jnp.zeros((nq_pad,), jnp.float32)
+    padf = lambda v: jnp.pad(v, (0, nq_pad - bn))
+    q_slab = jnp.stack([padf(qc.sx), padf(qc.sy), padf(qc.sz),
+                        qrow, qcol, zero_q, zero_q, zero_q], axis=1)
+
+    # ---- candidate slab [NC_chunks, 8, CHUNK_C], coordinate-major planes
+    nc = cc.sid.shape[0]
+    nc_pad = -(-nc // CHUNK_C) * CHUNK_C
+    ncc = nc_pad // CHUNK_C
+    crow = (cc.sid // gx).astype(jnp.float32)
+    ccol = (cc.sid % gx).astype(jnp.float32)
+    corig = (cc.sglobal.astype(jnp.int32) % cc.n).astype(jnp.float32)
+    far = jnp.float32(cc.c_total // gx + 4)    # padding rows: unreachable row
+    lanes = [
+        jnp.pad(cc.sx, (0, nc_pad - nc)),
+        jnp.pad(cc.sy, (0, nc_pad - nc)),
+        jnp.pad(cc.sz, (0, nc_pad - nc)),
+        jnp.pad(cc.sflag, (0, nc_pad - nc)),
+        jnp.pad(crow, (0, nc_pad - nc), constant_values=far),
+        jnp.pad(ccol, (0, nc_pad - nc)),
+        jnp.pad(corig, (0, nc_pad - nc), constant_values=-1.0),
+        jnp.zeros((nc_pad,), jnp.float32),
+    ]
+    c_slab = jnp.concatenate(
+        [l.reshape(ncc, 1, CHUNK_C) for l in lanes], axis=1)
+
+    # ---- ring-row windows per query chunk (sorted ids ⇒ chunk min/max are
+    # the first/last elements)
+    sid_chunks = sid_pad.reshape(nq_pad // CHUNK_Q, CHUNK_Q)
+    qmin, qmax = sid_chunks[:, 0], sid_chunks[:, -1]
+    cs_cols, cn_cols = [], []
+    for j in (-1, 0, 1):
+        wlo = jnp.clip(qmin + j * gx - 1, 0, cc.c_total - 1)
+        whi = jnp.clip(qmax + j * gx + 1, 0, cc.c_total - 1)
+        rlo = cc.start[wlo]
+        rhi = cc.start[whi + 1]
+        clo = rlo // CHUNK_C
+        chi = -(-rhi // CHUNK_C)
+        cs_cols.append(clo)
+        cn_cols.append(jnp.where(rhi > rlo, chi - clo, 0))
+    cs = jnp.stack(cs_cols, axis=1).astype(jnp.int32)
+    cn = jnp.stack(cn_cols, axis=1).astype(jnp.int32)
+
+    out = cell_sweep_pallas(q_slab, c_slab, cs, cn, dual)
+
+    # ---- unsort: one payload sort keyed by the carried original rows
+    key = jnp.pad(qc.sglobal.astype(jnp.int32), (0, nq_pad - bn),
+                  constant_values=jnp.int32(2**30))
+    _, d_a, i_a, d_f, i_f = jax.lax.sort(
+        (key, out[:, 0], out[:, 1], out[:, 2], out[:, 3]), num_keys=1)
+    cut = lambda x: x[:bn].reshape(b, qc.n)
+    return (cut(d_a), cut(i_a).astype(jnp.int32),
+            cut(d_f), cut(i_f).astype(jnp.int32))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _chamfer_nn_grid(pc0, pc1, mask0, mask1, spec):
     """Batched bidirectional grid NN: (d0, d1, i0, i1), each [B, *]."""
-    d0, i0 = _grid_search(pc0, pc1, mask1, None, spec)
-    d1, i1 = _grid_search(pc1, pc0, mask0, None, spec)
+    if _use_pallas():
+        c0 = _sweep_sort(pc0, mask0, None, spec)
+        c1 = _sweep_sort(pc1, mask1, None, spec)
+        d0, i0, _, _ = _sweep_dir(c0, c1, spec, dual=False)
+        d1, i1, _, _ = _sweep_dir(c1, c0, spec, dual=False)
+    else:
+        d0, i0 = _grid_search(pc0, pc1, mask1, None, spec)
+        d1, i1 = _grid_search(pc1, pc0, mask0, None, spec)
     d0 = jnp.where(mask0, d0, 0.0)
     d1 = jnp.where(mask1, d1, 0.0)
     return d0, d1, i0, i1
@@ -344,8 +461,14 @@ def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
     """Fused SeFlow NN set (batched): bidirectional all-candidates AND
     dynamic-only chamfer in one grid sweep per direction (vs four sweeps for
     two separate ``chamfer_distance`` calls)."""
-    d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
-    d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
+    if _use_pallas():
+        c0 = _sweep_sort(pc0, mask0, flag0, spec)
+        c1 = _sweep_sort(pc1, mask1, flag1, spec)
+        d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
+        d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
+    else:
+        d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
+        d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
     d0a = jnp.where(mask0, d0a, 0.0)
     d1a = jnp.where(mask1, d1a, 0.0)
     d0f = jnp.where(mask0 & flag0, d0f, 0.0)
@@ -414,6 +537,38 @@ def ssl_chamfer_distances(
             up(mask0), up(mask1), up(dyn0), up(dyn1)]
     out = _ssl_nn(*args, spec)[:4]
     return tuple(x if batched else x[0] for x in out)
+
+
+def grid_overflow_stats(pts: jnp.ndarray, mask: jnp.ndarray,
+                        spec: Optional[NNSpec] = None):
+    """Capacity-overflow telemetry for the XLA grid backend (VERDICT r2 #5).
+
+    The XLA fallback (``_grid_search``) keeps at most ``spec.capacity``
+    candidates per cell and silently drops the rest (only ever
+    *overestimating* distances); the Pallas cell-sweep path has no capacity
+    at all.  This measures how much the fallback would drop on a given
+    cloud: returns ``(dropped_fraction, overflowing_cell_fraction,
+    max_cell_count)`` — each a scalar jnp array.
+    """
+    if spec is None:
+        spec = NNSpec(method="grid")
+    batched = pts.ndim == 3
+    if not batched:
+        pts, mask = pts[None], mask[None]
+    b, n, _ = pts.shape
+    gx, gy = _grid_dims(spec)
+    num_cells = gx * gy
+    pf = pts.reshape(b * n, 3).astype(jnp.float32)
+    cx, cy = _bin2d(pf, spec, gx, gy)
+    sidx = jnp.arange(b * n, dtype=jnp.int32) // n
+    ids = jnp.where(mask.reshape(-1), sidx * num_cells + cy * gx + cx,
+                    b * num_cells)
+    counts = jnp.bincount(ids, length=b * num_cells + 1)[:-1]
+    over = jnp.maximum(counts - spec.capacity, 0)
+    total = jnp.maximum(jnp.sum(mask), 1)
+    return (jnp.sum(over) / total,
+            jnp.mean((counts > spec.capacity) & (counts > 0)),
+            jnp.max(counts))
 
 
 def _use_pallas() -> bool:

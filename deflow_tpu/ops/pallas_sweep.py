@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: cell-sweep grid nearest-neighbor (SSL chamfer core).
+
+The third-generation TPU backend for the reference's brute-force ``chamfer3D``
+CUDA extension (reference README.md:39) at full AV2 scale.  The XLA grid
+backend (ops/chamfer.py ``_grid_search``) is already ~linear, but its three
+cost centers are XLA lowering artifacts, not algorithmic:
+
+- capacity-table builds: ``lax.gather`` with ``slice_sizes=(cap,)`` lowers to
+  a 10k-iteration while-loop of dynamic-update-slices (~6 ms × 10 tables);
+- ring-concat rows: 9 rolls + concat materialize an 18 KB row per CELL;
+- the query scan row-gathers one 18 KB ring row per QUERY chunk element
+  (~7.2 GB/step of descriptor-bound gather traffic).
+
+This kernel keeps the candidates as ONE sorted flat array and sweeps it:
+
+1. both clouds are payload-sorted by a flat cell id with a GAP ROW per
+   sample (stride ``(gy+1)·gx``), so ring membership is an exact per-pair
+   test ``|Δrow| ≤ 1 & |Δcol| ≤ 1`` on precomputed row/col lanes — sample
+   isolation (gap row ⇒ cross-sample Δrow ≥ 2) and x-edge exactness (no
+   wrap-around false candidates) fall out for free, and there is NO per-cell
+   capacity: the kernel is exact below ``ring·cell`` with no overflow drops
+   (the XLA backend's ``capacity=128`` caveat disappears on this path);
+2. a chunk of ``CHUNK_Q`` consecutive sorted queries spans a contiguous cell
+   range [qmin, qmax]; its ring is THREE contiguous candidate-row spans
+   (rows qmin−gx−1…qmax−gx+1 / ±0 / +gx), found by searchsorted outside the
+   kernel and passed as scalar-prefetch chunk ranges;
+3. the kernel DMAs ``[8, CHUNK_C]`` candidate blocks (coordinate-major lanes:
+   x/y/z/flag/row/col/orig-row planes) HBM→VMEM with the 3-slot rotation the
+   scatter/gather kernels use, and tracks per-query running
+   (min d², argmin orig row) — plus the flag-restricted pair for the fused
+   dual-mask SSL loss — entirely on the VPU in f32 (no MXU, no precision
+   caveats).
+
+Total HBM traffic ≈ (一 sweep of the candidate slab per ~gx query chunks)
+≈ 100 MB/direction vs 7.2 GB of ring-row gathers — and the span-table while
+loops vanish because there are no tables.
+
+Results come back in sorted-query order; the caller unsorts with one payload
+sort keyed by the carried original row ids (see chamfer.py ``_sweep_dir``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK_Q = 256    # sorted queries per grid step
+CHUNK_C = 256    # candidate rows per DMA block (8 × 256 f32 = 8 KB)
+_BIG = 3.0e38
+
+# candidate slab lane order (coordinate-major planes)
+_CX, _CY, _CZ, _CFLAG, _CROW, _CCOL, _CORIG = range(7)
+_CLANES = 8
+# query slab lane order
+_QX, _QY, _QZ, _QROW, _QCOL = range(5)
+_QLANES = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(dual: bool):
+    def _sweep_kernel(cs_ref, cn_ref, first_ref, total_ref,
+                      q_ref, c_hbm, out_ref, wbuf, sems, slot_ref):
+        k = pl.program_id(0)
+        nk = pl.num_programs(0)
+        total = total_ref[k]
+
+        def dma(s, idx):
+            return pltpu.make_async_copy(c_hbm.at[idx], wbuf.at[s], sems.at[s])
+
+        def chunk_idx(t):
+            """Map flat iteration t to the candidate chunk index across the
+            three ring-row windows (scalar select chain).  cs/cn are FLAT
+            [3·nk] arrays: 2-D SMEM operands pad their minor dim to 128
+            (a [nk, 3] i32 prefetch costs 512·nk bytes of 1 MB SMEM)."""
+            c0 = cn_ref[3 * k]
+            c01 = c0 + cn_ref[3 * k + 1]
+            return jnp.where(
+                t < c0, cs_ref[3 * k] + t,
+                jnp.where(t < c01, cs_ref[3 * k + 1] + (t - c0),
+                          cs_ref[3 * k + 2] + (t - c01)))
+
+        @pl.when(k == 0)
+        def _():
+            slot_ref[0] = 0
+
+            @pl.when(total > 0)
+            def _():
+                dma(0, first_ref[k]).start()
+
+        s0 = slot_ref[0]
+        # successor's first block lands after this chunk's last block
+        # (3-slot rotation; ≤2-block chunks prefetch across the grid step)
+        s_succ = jax.lax.rem(s0 + total, 3)
+        kn = jnp.minimum(k + 1, nk - 1)
+        do_pref = (k + 1 < nk) & (total_ref[kn] > 0)
+
+        @pl.when(do_pref & (total <= 2))
+        def _():
+            dma(s_succ, first_ref[kn]).start()
+
+        # query lanes, sublane-major [CHUNK_Q, 1]
+        qx = q_ref[:, _QX:_QX + 1]
+        qy = q_ref[:, _QY:_QY + 1]
+        qz = q_ref[:, _QZ:_QZ + 1]
+        qrow = q_ref[:, _QROW:_QROW + 1]
+        qcol = q_ref[:, _QCOL:_QCOL + 1]
+
+        def contrib(s, carry):
+            cb = wbuf[s]                                   # [8, CHUNK_C]
+            dx = qx - cb[_CX:_CX + 1, :]                   # [CHUNK_Q, CHUNK_C]
+            dy = qy - cb[_CY:_CY + 1, :]
+            dz = qz - cb[_CZ:_CZ + 1, :]
+            d = dx * dx + dy * dy + dz * dz
+            # exact ring + sample test on precomputed row/col lanes (small
+            # exact ints in f32; the per-sample gap row makes cross-sample
+            # Δrow ≥ 2, and the col test kills x-edge wraps)
+            ok = (jnp.abs(qrow - cb[_CROW:_CROW + 1, :]) <= 1.0) & \
+                 (jnp.abs(qcol - cb[_CCOL:_CCOL + 1, :]) <= 1.0)
+            da = jnp.where(ok, d, _BIG)
+            crow = cb[_CORIG:_CORIG + 1, :]
+
+            def best_of(dm, b, bi):
+                m = jnp.min(dm, axis=1, keepdims=True)     # [CHUNK_Q, 1]
+                i = jnp.max(jnp.where(dm <= m, crow, -1.0),
+                            axis=1, keepdims=True)
+                take = m < b
+                return jnp.where(take, m, b), jnp.where(take, i, bi)
+
+            ba, bia, bf, bif = carry
+            ba, bia = best_of(da, ba, bia)
+            if dual:
+                df = jnp.where(cb[_CFLAG:_CFLAG + 1, :] > 0.5, da, _BIG)
+                bf, bif = best_of(df, bf, bif)
+            return ba, bia, bf, bif
+
+        def body(t, carry):
+            *best, s = carry
+            nxt = jax.lax.rem(s + 1, 3)
+
+            @pl.when(t + 1 < total)
+            def _():
+                dma(nxt, chunk_idx(t + 1)).start()
+
+            dma(s, chunk_idx(t)).wait()
+            return (*contrib(s, tuple(best)), nxt)
+
+        big = jnp.full((CHUNK_Q, 1), _BIG, jnp.float32)
+        neg = jnp.full((CHUNK_Q, 1), -1.0, jnp.float32)
+        ba, bia, bf, bif, _ = jax.lax.fori_loop(
+            0, total, body, (big, neg, big, neg, s0))
+
+        @pl.when(do_pref & (total > 2))
+        def _():
+            dma(s_succ, first_ref[kn]).start()
+
+        slot_ref[0] = s_succ
+        out_ref[:] = jnp.concatenate(
+            [ba, bia, bf, bif, jnp.zeros((CHUNK_Q, 4), jnp.float32)], axis=1)
+
+    return _sweep_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("dual",))
+def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
+                      cs: jnp.ndarray, cn: jnp.ndarray, dual: bool = True):
+    """Low-level sweep call.
+
+    Args:
+        q_slab: [NQ_pad, 8] f32, NQ_pad % CHUNK_Q == 0 — sorted queries,
+            lanes (x, y, z, row, col, …); row/col are the flat grid row and
+            column as exact small floats (sentinel queries: row far outside).
+        c_slab: [NC_chunks, 8, CHUNK_C] f32 — sorted candidates, coordinate-
+            major planes (x, y, z, flag, row, col, orig_row).
+        cs: [NQ_pad/CHUNK_Q, 3] i32 — per query chunk, candidate-chunk start
+            index of each ring-row window.
+        cn: [NQ_pad/CHUNK_Q, 3] i32 — candidate-chunk count per window.
+    Returns:
+        [NQ_pad, 8] f32: lanes (d_all, i_all, d_flag, i_flag, 0…) per sorted
+        query; d = squared NN distance (``3e38`` when no candidate), i = the
+        matched candidate's orig_row lane (−1 when none).
+    """
+    nq_pad = q_slab.shape[0]
+    num_chunks = nq_pad // CHUNK_Q
+    total = jnp.sum(cn, axis=1).astype(jnp.int32)
+    # first DMA block = start of the first non-empty window
+    first = jnp.where(cn[:, 0] > 0, cs[:, 0],
+                      jnp.where(cn[:, 1] > 0, cs[:, 1], cs[:, 2]))
+    first = jnp.clip(first, 0, c_slab.shape[0] - 1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((CHUNK_Q, _QLANES), lambda k, *_: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),          # candidates, HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (CHUNK_Q, 8), lambda k, *_: (k, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, _CLANES, CHUNK_C), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((1,), jnp.int32),                   # DMA slot carry
+        ],
+    )
+    return pl.pallas_call(
+        _make_kernel(dual),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq_pad, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+    )(cs.astype(jnp.int32).reshape(-1), cn.astype(jnp.int32).reshape(-1),
+      first, total, q_slab, c_slab)

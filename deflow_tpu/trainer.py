@@ -90,7 +90,22 @@ _BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
                "pc0_transformed",
                "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
                "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted",
-               "pc0_sorted_rec", "pc1_sorted_rec")
+               "pc0_sorted_rec", "pc1_sorted_rec",
+               # multi-frame history (num_frames > 2, loader pch{h} keys)
+               "pch1", "pch1_mask", "pose_pch1",
+               "pch2", "pch2_mask", "pose_pch2")
+
+
+def history_from_batch(batch) -> "list | None":
+    """Collect the loader's ``pch{h}`` history frames (num_frames > 2) into
+    the model's ``history=`` argument; None for the 2-frame contract."""
+    hist = []
+    h = 1
+    while f"pch{h}" in batch:
+        hist.append({"pc": batch[f"pch{h}"], "mask": batch[f"pch{h}_mask"],
+                     "pose": batch[f"pose_pch{h}"]})
+        h += 1
+    return hist or None
 
 
 def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str, jnp.ndarray]:
@@ -107,12 +122,17 @@ def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str
 
 
 def init_state(model, cfg, sample_batch: Dict[str, np.ndarray], seed: int = 0) -> TrainState:
+    hist = None
+    if getattr(model, "num_frames", 2) > 2:
+        hist = history_from_batch(
+            {k: jnp.asarray(v) for k, v in sample_batch.items()
+             if k.startswith(("pch", "pose_pch"))})
     variables = model.init(
         jax.random.key(seed),
         jnp.asarray(sample_batch["pc0"]), jnp.asarray(sample_batch["pc1"]),
         jnp.asarray(sample_batch["pose0"]), jnp.asarray(sample_batch["pose1"]),
         jnp.asarray(sample_batch["pc0_mask"]), jnp.asarray(sample_batch["pc1_mask"]),
-        train=True,
+        train=True, history=hist,
     )
     tx = make_optimizer(cfg)
     params = variables["params"]
@@ -125,17 +145,23 @@ def init_state(model, cfg, sample_batch: Dict[str, np.ndarray], seed: int = 0) -
     )
 
 
-def make_train_step(model, loss_name: str, remat: bool = False) -> Callable:
+def make_train_step(model, loss_name: str, remat: bool = False,
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """``mesh`` (the same one later given to :func:`jit_train_step`) lets SSL
+    losses shard_map their chamfer over the data axis — without it GSPMD
+    all-gathers the batch around the grid chamfer's flat lax.sort."""
     is_ssl = loss_name in SSL_LOSS_REGISTRY
     loss_fn = SSL_LOSS_REGISTRY[loss_name] if is_ssl else get_loss(loss_name)
+    if is_ssl:
+        loss_fn = functools.partial(loss_fn, mesh=mesh)
 
     def forward(params, batch_stats, pc0, pc1, pose0, pose1, m0, m1, ego,
-                host_prep=None):
+                host_prep=None, history=None):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             pc0, pc1, pose0, pose1, m0, m1,
             ego_motion=ego, train=True, mutable=["batch_stats"],
-            host_prep=host_prep,
+            host_prep=host_prep, history=history,
         )
 
     if remat:
@@ -152,6 +178,7 @@ def make_train_step(model, loss_name: str, remat: bool = False) -> Callable:
                 batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
                 batch["pc0_mask"], batch["pc1_mask"],
                 batch.get("ego_motion"), host_prep_from_batch(batch),
+                history_from_batch(batch) if model.num_frames > 2 else None,
             )
             if is_ssl:
                 # self-supervised (SeFlow family): geometry + DUFO labels,
@@ -196,6 +223,8 @@ def make_eval_step(model) -> Callable:
             batch["pc0_mask"], batch["pc1_mask"],
             ego_motion=batch.get("ego_motion"),
             train=False, host_prep=host_prep_from_batch(batch),
+            history=(history_from_batch(batch)
+                     if model.num_frames > 2 else None),
         )
         # Final predicted flow: network flow at voxel-valid points plus the
         # rigid ego flow everywhere (invalid points carry pose_flow only —

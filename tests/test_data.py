@@ -99,3 +99,40 @@ def test_multi_frame_history(split_dir):
         pos = keys.index(ds.index[0].timestamp0)
         assert pos >= 1
     ds.close()
+
+
+def test_multi_frame_model_consumes_history(split_dir):
+    """num_frames=3 end-to-end: the model embeds the history frame (shared
+    siamese embedder, channel-concat into the UNet input) and the loss
+    actually DEPENDS on it (VERDICT r2 #8 — no loaded-but-unconsumed paths)."""
+    import jax
+    import numpy as np
+
+    from deflow_tpu.config import compose
+    from deflow_tpu.models import build_model
+    from deflow_tpu import trainer as T
+
+    cfg = compose("config", [
+        "batch_size=2", "max_points=512", "num_frames=3",
+        "voxel_size=[3.2,3.2,6]", "model.target.grid_feature_size=[32,32]",
+        "model.target.num_iters=2", "precision=fp32",
+    ])
+    ds = HDF5Dataset(split_dir, max_points=512, num_frames=3)
+    hb = next(iter(DataLoader(ds, 2, shuffle=False)))
+    assert "pch1" in hb
+
+    model = build_model(cfg.model, precision="fp32", num_frames=3)
+    state = T.init_state(model, cfg, hb, seed=0)
+    step = jax.jit(T.make_train_step(model, "deflowLoss"))  # no donation —
+    # the same initial state is reused for the perturbation comparison
+    batch = T.device_batch(hb, None)
+    _, aux = step(state, batch)
+    l_base = float(aux["loss"])
+    assert np.isfinite(l_base)
+
+    # perturb ONLY the history frame → the loss must move
+    hb2 = dict(hb)
+    hb2["pch1"] = hb["pch1"] + np.float32(0.5)
+    _, aux2 = step(state, T.device_batch(hb2, None))
+    assert float(aux2["loss"]) != l_base
+    ds.close()

@@ -236,3 +236,25 @@ def test_seflow_loss_grid_matches_brute():
     lb = seflow_loss(out, batch, chamfer_method="brute")
     lg = seflow_loss(out, batch, chamfer_method="grid")
     np.testing.assert_allclose(float(lg), float(lb), rtol=1e-4)
+
+
+def test_grid_overflow_stats():
+    """Telemetry for the XLA fallback's capacity drops: counts points beyond
+    capacity per cell (the Pallas sweep path has no capacity at all)."""
+    import jax.numpy as jnp
+
+    from deflow_tpu.ops.chamfer import NNSpec, grid_overflow_stats
+
+    spec = NNSpec(method="grid", cell=2.0, capacity=4,
+                  lo=(-8.0, -8.0), hi=(8.0, 8.0))
+    # 10 points in one cell (cap 4 → 6 dropped), 2 in another, 4 masked
+    pts = np.zeros((16, 3), np.float32)
+    pts[:10] = [1.0, 1.0, 0.0]
+    pts[10:12] = [-5.0, -5.0, 0.0]
+    mask = np.ones(16, bool)
+    mask[12:] = False
+    drop, cellfrac, cmax = grid_overflow_stats(
+        jnp.asarray(pts), jnp.asarray(mask), spec)
+    np.testing.assert_allclose(float(drop), 6 / 12, rtol=1e-6)
+    assert int(cmax) == 10
+    assert 0 < float(cellfrac) < 1

@@ -1,6 +1,8 @@
 """Golden-value tests for losses (masked vs compacted equivalence) and the
 3-way / bucketed metric accumulators (SURVEY.md §4 test pyramid)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -170,3 +172,21 @@ def test_seflow_ssl_loss_runs_and_prefers_truth(tmp_path):
     # differentiable
     g = jax.grad(lambda f: seflow_loss(out_for(true_flow * 0 + f), batch))(0.3)
     assert np.isfinite(g)
+
+
+def test_metrics_crosscheck_runner():
+    """tools/metrics_crosscheck.py: report-only (rc=2) offline, and the
+    official comparisons run the moment the packages are importable."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "metrics_crosscheck.py")],
+        capture_output=True, text=True)
+    has_official = (importlib.util.find_spec("av2") is not None
+                    or importlib.util.find_spec("bucketed_scene_flow_eval")
+                    is not None)
+    assert proc.returncode == (0 if has_official else 2), proc.stdout
+    assert "ours: EPE_FD=" in proc.stdout

@@ -72,3 +72,41 @@ def test_bs16_train_step_partitions_batch_over_8_devices():
     _, aux1 = step1(state1, T.device_batch(hb, None))
     np.testing.assert_allclose(loss, float(aux1["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(aux["epe"]), float(aux1["epe"]), rtol=1e-5)
+
+
+def test_sharded_ssl_grid_chamfer_matches_single_device():
+    """shard_map'd grid-chamfer SSL loss (per-chip local sorts, zero
+    collectives inside the loss) == the unsharded value, including grads
+    (VERDICT r2 #2; reference trains SeFlow under 8-GPU DDP with per-rank
+    losses, assets/slurm/1_train.sh)."""
+    import jax.numpy as jnp
+
+    from deflow_tpu.losses import seflow_loss
+
+    assert len(jax.devices()) >= 8
+    mesh = T.create_mesh(8)
+    b, n = 8, 512
+    rng = np.random.default_rng(7)
+    hb = _host_batch(b, n, seed=7)
+    batch = {k: jnp.asarray(hb[k])
+             for k in ("pc0", "pc1", "pc0_mask", "pc1_mask")}
+    batch["dufo_label0"] = jnp.asarray(
+        (rng.random((b, n)) > 0.6).astype(np.int32))
+    batch["dufo_label1"] = jnp.asarray(
+        (rng.random((b, n)) > 0.6).astype(np.int32))
+    flow = jnp.asarray(rng.normal(0, 0.05, (b, n, 3)).astype(np.float32))
+
+    def loss(fl, mesh_arg):
+        out = {"flow": fl, "pose_flow": jnp.zeros_like(fl),
+               "pc0_valid": batch["pc0_mask"], "pc1_valid": batch["pc1_mask"]}
+        return seflow_loss(out, batch, chamfer_method="grid", mesh=mesh_arg)
+
+    v1, g1 = jax.value_and_grad(lambda f: loss(f, None))(flow)
+
+    shard = T.batch_sharding(mesh)
+    flow_s = jax.device_put(flow, shard)
+    v8, g8 = jax.jit(jax.value_and_grad(lambda f: loss(f, mesh)))(flow_s)
+
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,166 @@
+"""Cell-sweep Pallas grid-NN kernel (interpret mode): exactness below the
+grid radius, sample isolation, masking, dual-flag fusion, and VJP parity
+with the XLA grid backend."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deflow_tpu.ops.chamfer import NNSpec
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    import deflow_tpu.ops.voxel as V
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+
+
+# small grid: 16 m box, 2 m cells → 8x8, few query chunks in interpret mode
+SPEC = NNSpec(method="grid", cell=2.0, ring=1, lo=(-8.0, -8.0), hi=(8.0, 8.0))
+
+
+def _clouds(seed, b=2, n=300, m=400, spread=7.5):
+    rng = np.random.default_rng(seed)
+    p = rng.uniform(-spread, spread, (b, n, 3)).astype(np.float32)
+    q = rng.uniform(-spread, spread, (b, m, 3)).astype(np.float32)
+    p[..., 2] = rng.uniform(-1, 1, (b, n))
+    q[..., 2] = rng.uniform(-1, 1, (b, m))
+    mp = rng.random((b, n)) > 0.15
+    mq = rng.random((b, m)) > 0.15
+    fp = rng.random((b, n)) > 0.5
+    fq = rng.random((b, m)) > 0.5
+    return p, q, mp, mq, fp, fq
+
+
+def _brute_truncated(p, q, mq, t2):
+    """min(truncated NN distance) per query against masked candidates."""
+    d = ((p[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    d[:, ~mq] = np.inf
+    return np.minimum(d.min(1) if mq.any() else np.full(len(p), np.inf), t2)
+
+
+def test_sweep_matches_brute_below_radius(interpret_pallas):
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    p, q, mp, mq, _, _ = _clouds(0)
+    d0, d1 = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                              jnp.asarray(mp), jnp.asarray(mq), spec=SPEC)
+    t2 = SPEC.cell ** 2
+    for b in range(p.shape[0]):
+        ref0 = _brute_truncated(p[b], q[b], mq[b], t2)
+        got0 = np.minimum(np.asarray(d0[b]), t2)
+        np.testing.assert_allclose(got0[mp[b]], ref0[mp[b]], rtol=1e-5,
+                                   atol=1e-5)
+        ref1 = _brute_truncated(q[b], p[b], mp[b], t2)
+        got1 = np.minimum(np.asarray(d1[b]), t2)
+        np.testing.assert_allclose(got1[mq[b]], ref1[mq[b]], rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_sweep_sample_isolation(interpret_pallas):
+    """Identical coordinates in different batch samples must not match."""
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    pts = np.random.default_rng(1).uniform(-7, 7, (64, 3)).astype(np.float32)
+    p = np.stack([pts, pts + 100.0])          # sample 1 far outside the grid
+    q = np.stack([pts + 100.0, pts])          # candidates swapped
+    # sample 0 candidates are clipped into boundary cells (far in truth);
+    # NN distances must be huge, not zero, despite sample-1 matching coords
+    mp = np.ones((2, 64), bool)
+    mq = np.ones((2, 64), bool)
+    d0, _ = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                             jnp.asarray(mp), jnp.asarray(mq), spec=SPEC)
+    assert float(jnp.min(d0)) > SPEC.cell ** 2
+
+
+def test_sweep_dual_flag_matches_two_calls(interpret_pallas):
+    from deflow_tpu.ops.chamfer import chamfer_distance, ssl_chamfer_distances
+
+    p, q, mp, mq, fp, fq = _clouds(2)
+    args = [jnp.asarray(x) for x in (p, q, mp, mq)]
+    d0a, d1a, d0f, d1f = ssl_chamfer_distances(
+        args[0], args[1], args[2], args[3],
+        jnp.asarray(fp), jnp.asarray(fq), truncate=SPEC.cell, spec=SPEC)
+    r0a, r1a = chamfer_distance(*args, spec=SPEC)
+    rf = chamfer_distance(args[0], args[1],
+                          args[2] & jnp.asarray(fp), args[3] & jnp.asarray(fq),
+                          spec=SPEC)
+    t2 = SPEC.cell ** 2
+    np.testing.assert_allclose(np.minimum(d0a, t2), np.minimum(r0a, t2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.minimum(d1a, t2), np.minimum(r1a, t2),
+                               rtol=1e-5, atol=1e-5)
+    dyn_q0 = np.asarray(args[2] & jnp.asarray(fp))
+    got = np.minimum(np.asarray(d0f), t2)[dyn_q0]
+    ref = np.minimum(np.asarray(rf[0]), t2)[dyn_q0]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sweep_matches_xla_grid_backend(interpret_pallas, monkeypatch):
+    """Kernel path == XLA grid path (same contract) on clouds with
+    below-capacity cells — including matched-index-driven gradients."""
+    import deflow_tpu.ops.voxel as V
+    from deflow_tpu.ops import chamfer as C
+
+    p, q, mp, mq, fp, fq = _clouds(3)
+    args = (jnp.asarray(p), jnp.asarray(q), jnp.asarray(mp), jnp.asarray(mq),
+            jnp.asarray(fp), jnp.asarray(fq))
+
+    def loss(pc0, pc1):
+        d0, d1, dd0, dd1 = C.ssl_chamfer_distances(
+            pc0, pc1, args[2], args[3], args[4], args[5],
+            truncate=SPEC.cell, spec=SPEC)
+        t2 = SPEC.cell ** 2
+        return (jnp.sum(jnp.minimum(d0, t2)) + jnp.sum(jnp.minimum(d1, t2))
+                + jnp.sum(jnp.minimum(dd0, t2))
+                + jnp.sum(jnp.minimum(dd1, t2)))
+
+    v_k, g_k = jax.value_and_grad(loss, argnums=(0, 1))(args[0], args[1])
+
+    monkeypatch.setattr(V, "_use_pallas", lambda: False)
+    v_x, g_x = jax.value_and_grad(loss, argnums=(0, 1))(args[0], args[1])
+
+    np.testing.assert_allclose(float(v_k), float(v_x), rtol=1e-5)
+    for gk, gx in zip(g_k, g_x):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sweep_empty_sample(interpret_pallas):
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    p, q, mp, mq, _, _ = _clouds(4)
+    mp[1] = False                              # sample 1 has no valid queries
+    mq[0] = False                              # sample 0 has no candidates
+    d0, d1 = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                              jnp.asarray(mp), jnp.asarray(mq), spec=SPEC)
+    assert np.all(np.isfinite(np.asarray(d0)))
+    assert np.all(np.asarray(d0)[~mp] == 0.0)
+    # no-candidate sample: distances are the BIG sentinel (truncation clips)
+    assert np.all(np.asarray(d0)[0][mp[0]] > SPEC.cell ** 2)
+    assert np.all(np.asarray(d1)[~mq] == 0.0)
+
+
+def test_sweep_no_capacity_limit(interpret_pallas):
+    """All points in one cell (way past the XLA backend's capacity=128):
+    the kernel is exact anyway — no overflow drops."""
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    rng = np.random.default_rng(5)
+    p = rng.uniform(0.1, 1.9, (1, 300, 3)).astype(np.float32)
+    q = rng.uniform(0.1, 1.9, (1, 400, 3)).astype(np.float32)
+    p[..., 2] = 0.0
+    q[..., 2] = 0.0
+    d0, d1 = chamfer_distance(jnp.asarray(p), jnp.asarray(q), spec=SPEC)
+    full = ((p[0][:, None, :] - q[0][None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.asarray(d0[0]), full.min(1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1[0]), full.min(0),
+                               rtol=1e-5, atol=1e-5)

@@ -71,6 +71,17 @@ def main():
         q[~mask] = 0
         jp, jq, jm = jnp.asarray(p), jnp.asarray(q), jnp.asarray(mask)
 
+        # XLA-fallback capacity-overflow telemetry (the Pallas cell-sweep
+        # path has no capacity; this quantifies what the fallback drops)
+        from deflow_tpu.ops.chamfer import grid_overflow_stats
+
+        ospec = NNSpec(method="grid", cell=2.0, capacity=args.capacity)
+        drop, cellfrac, cmax = (float(x) for x in grid_overflow_stats(
+            jq, jm, ospec))
+        print(f"n={n:7d} overflow(cap={args.capacity}): dropped "
+              f"{drop:.2%} of points, {cellfrac:.2%} of cells, "
+              f"max cell count {int(cmax)}")
+
         def loss(pc0, spec):
             d0, d1 = chamfer_distance(pc0, jq, jm, jm, spec=spec)
             return (jnp.sum(jnp.minimum(d0, 4.0)) + jnp.sum(jnp.minimum(d1, 4.0)))

@@ -33,7 +33,8 @@ def capture(out_dir: str, steps: int):
     from deflow_tpu.models import build_model
     from deflow_tpu import trainer as T
 
-    batch, n, valid = 4, int(os.environ.get("BENCH_N", 98304)), 86016
+    batch, n, valid = (int(os.environ.get("BENCH_BS", 4)),
+                       int(os.environ.get("BENCH_N", 98304)), 86016)
     loss_fn = os.environ.get("BENCH_LOSS", "deflowLoss")
     cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
                              f"loss_fn={loss_fn}", "precision=bf16"])

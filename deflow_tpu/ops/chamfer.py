@@ -371,19 +371,20 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
 
     out = cell_sweep_pallas(q_slab, c_slab, cs, cn, dual)
 
-    # ---- unsort: one payload sort keyed by the carried original rows
+    # ---- unsort: one payload sort keyed by the carried original rows.
+    # Lane count matters: unsorting the kernel's optional q* coords too
+    # (11 operands) costs more than the pc[i] gathers they would replace
+    # (measured 22.2 vs 23.0 pairs/s SSL) — so only d/i come back.
     key = jnp.pad(qc.sglobal.astype(jnp.int32), (0, nq_pad - bn),
                   constant_values=jnp.int32(2**30))
     cut = lambda x: x[:bn].reshape(b, qc.n)
     if not dual:
         _, d_a, i_a = jax.lax.sort((key, out[:, 0], out[:, 1]), num_keys=1)
-        return cut(d_a), cut(i_a).astype(jnp.int32), None, None, None, None
-    cols = jax.lax.sort((key, *(out[:, j] for j in range(10))), num_keys=1)
-    d_a, i_a, qax, qay, qaz, d_f, i_f, qfx, qfy, qfz = cols[1:]
-    q_a = jnp.stack([cut(qax), cut(qay), cut(qaz)], axis=-1)
-    q_f = jnp.stack([cut(qfx), cut(qfy), cut(qfz)], axis=-1)
+        return cut(d_a), cut(i_a).astype(jnp.int32), None, None
+    _, d_a, i_a, d_f, i_f = jax.lax.sort(
+        (key, out[:, 0], out[:, 1], out[:, 5], out[:, 6]), num_keys=1)
     return (cut(d_a), cut(i_a).astype(jnp.int32),
-            cut(d_f), cut(i_f).astype(jnp.int32), q_a, q_f)
+            cut(d_f), cut(i_f).astype(jnp.int32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -472,9 +473,9 @@ def _ssl_core(pc0, pc1, mask0, mask1, flag0, flag1, spec):
     if _use_pallas():
         c0 = _sweep_sort(pc0, mask0, flag0, spec)
         c1 = _sweep_sort(pc1, mask1, flag1, spec)
-        d0a, i0a, d0f, i0f, q0a, q0f = _sweep_dir(c0, c1, spec, dual=True)
-        d1a, i1a, d1f, i1f, q1a, q1f = _sweep_dir(c1, c0, spec, dual=True)
-        extras = (q0a, q0f, q1a, q1f)
+        d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
+        d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
+        extras = None
     else:
         d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
         d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)

@@ -64,7 +64,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(dual: bool):
+def _make_kernel(dual: bool, coords: bool):
     def _sweep_kernel(cs_ref, cn_ref, first_ref, total_ref,
                       q_ref, c_hbm, out_ref, wbuf, sems, slot_ref):
         k = pl.program_id(0)
@@ -129,18 +129,23 @@ def _make_kernel(dual: bool):
             crow = cb[_CORIG:_CORIG + 1, :]
 
             def best_of(dm, cur):
-                """Running (d, i, q*) update.  The match's COORDS ride along
-                (selected via crow == i for tie consistency) so the VJP
-                needs no pc1[i] gather at all."""
+                """Running (d, i[, q*]) update.  With ``coords`` the match's
+                COORDS ride along (selected via crow == i for tie
+                consistency) for unsort-free consumers; the default skips
+                them — an 11-operand unsort sort costs more than the
+                pc1[i] gathers it replaces (measured: 22.2 vs 23.0 pairs/s
+                SSL)."""
                 b, bi, bxx, byy, bzz = cur
                 m = jnp.min(dm, axis=1, keepdims=True)     # [CHUNK_Q, 1]
                 i = jnp.max(jnp.where(dm <= m, crow, -1.0),
                             axis=1, keepdims=True)
+                take = m < b
+                w = lambda new, old: jnp.where(take, new, old)
+                if not coords:
+                    return (w(m, b), w(i, bi), bxx, byy, bzz)
                 sel = (dm <= m) & (crow == i)
                 pick = lambda lane: jnp.max(
                     jnp.where(sel, lane, -_BIG), axis=1, keepdims=True)
-                take = m < b
-                w = lambda new, old: jnp.where(take, new, old)
                 return (w(m, b), w(i, bi),
                         w(pick(cx), bxx), w(pick(cy), byy), w(pick(cz), bzz))
 
@@ -182,9 +187,10 @@ def _make_kernel(dual: bool):
     return _sweep_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dual",))
+@functools.partial(jax.jit, static_argnames=("dual", "coords"))
 def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
-                      cs: jnp.ndarray, cn: jnp.ndarray, dual: bool = True):
+                      cs: jnp.ndarray, cn: jnp.ndarray, dual: bool = True,
+                      coords: bool = False):
     """Low-level sweep call.
 
     Args:
@@ -228,7 +234,7 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(dual),
+        _make_kernel(dual, coords),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq_pad, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(

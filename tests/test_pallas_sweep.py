@@ -164,3 +164,21 @@ def test_sweep_no_capacity_limit(interpret_pallas):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(d1[0]), full.min(0),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sweep_other_cell_size(interpret_pallas):
+    """Generality: 1 m cells / different grid dims obey the same exactness
+    contract (exact below ring*cell = 1 m)."""
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    spec = NNSpec(method="grid", cell=1.0, ring=1,
+                  lo=(-6.0, -6.0), hi=(6.0, 6.0))
+    p, q, mp, mq, _, _ = _clouds(7, b=2, n=200, m=250, spread=5.5)
+    d0, d1 = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                              jnp.asarray(mp), jnp.asarray(mq), spec=spec)
+    t2 = 1.0
+    for b in range(2):
+        ref = _brute_truncated(p[b], q[b], mq[b], t2)
+        np.testing.assert_allclose(
+            np.minimum(np.asarray(d0[b]), t2)[mp[b]], ref[mp[b]],
+            rtol=1e-5, atol=1e-5)

@@ -371,18 +371,12 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
 
     out = cell_sweep_pallas(q_slab, c_slab, cs, cn, dual)
 
-    # ---- unsort: one payload sort keyed by the carried original rows.
-    # Lane count matters: unsorting the kernel's optional q* coords too
-    # (11 operands) costs more than the pc[i] gathers they would replace
-    # (measured 22.2 vs 23.0 pairs/s SSL) — so only d/i come back.
+    # ---- unsort: one payload sort keyed by the carried original rows
     key = jnp.pad(qc.sglobal.astype(jnp.int32), (0, nq_pad - bn),
                   constant_values=jnp.int32(2**30))
-    cut = lambda x: x[:bn].reshape(b, qc.n)
-    if not dual:
-        _, d_a, i_a = jax.lax.sort((key, out[:, 0], out[:, 1]), num_keys=1)
-        return cut(d_a), cut(i_a).astype(jnp.int32), None, None
     _, d_a, i_a, d_f, i_f = jax.lax.sort(
-        (key, out[:, 0], out[:, 1], out[:, 5], out[:, 6]), num_keys=1)
+        (key, out[:, 0], out[:, 1], out[:, 2], out[:, 3]), num_keys=1)
+    cut = lambda x: x[:bn].reshape(b, qc.n)
     return (cut(d_a), cut(i_a).astype(jnp.int32),
             cut(d_f), cut(i_f).astype(jnp.int32))
 
@@ -393,8 +387,8 @@ def _chamfer_nn_grid(pc0, pc1, mask0, mask1, spec):
     if _use_pallas():
         c0 = _sweep_sort(pc0, mask0, None, spec)
         c1 = _sweep_sort(pc1, mask1, None, spec)
-        d0, i0 = _sweep_dir(c0, c1, spec, dual=False)[:2]
-        d1, i1 = _sweep_dir(c1, c0, spec, dual=False)[:2]
+        d0, i0, _, _ = _sweep_dir(c0, c1, spec, dual=False)
+        d1, i1, _, _ = _sweep_dir(c1, c0, spec, dual=False)
     else:
         d0, i0 = _grid_search(pc0, pc1, mask1, None, spec)
         d1, i1 = _grid_search(pc1, pc0, mask0, None, spec)
@@ -467,64 +461,50 @@ def _chamfer_nn_grid_bwd(spec, res, cts):
 _chamfer_nn_grid.defvjp(_chamfer_nn_grid_fwd, _chamfer_nn_grid_bwd)
 
 
-def _ssl_core(pc0, pc1, mask0, mask1, flag0, flag1, spec):
-    """Fused SeFlow NN set: the 8 outputs plus (kernel path only) the
-    matched-candidate coordinates for a gather-free VJP."""
-    if _use_pallas():
-        c0 = _sweep_sort(pc0, mask0, flag0, spec)
-        c1 = _sweep_sort(pc1, mask1, flag1, spec)
-        d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
-        d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
-        extras = None
-    else:
-        d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
-        d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
-        extras = None
-    d0a = jnp.where(mask0, d0a, 0.0)
-    d1a = jnp.where(mask1, d1a, 0.0)
-    d0f = jnp.where(mask0 & flag0, d0f, 0.0)
-    d1f = jnp.where(mask1 & flag1, d1f, 0.0)
-    return (d0a, d1a, d0f, d1f, i0a, i1a, i0f, i1f), extras
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
     """Fused SeFlow NN set (batched): bidirectional all-candidates AND
     dynamic-only chamfer in one grid sweep per direction (vs four sweeps for
     two separate ``chamfer_distance`` calls)."""
-    return _ssl_core(pc0, pc1, mask0, mask1, flag0, flag1, spec)[0]
+    if _use_pallas():
+        c0 = _sweep_sort(pc0, mask0, flag0, spec)
+        c1 = _sweep_sort(pc1, mask1, flag1, spec)
+        d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
+        d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
+    else:
+        d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
+        d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
+    d0a = jnp.where(mask0, d0a, 0.0)
+    d1a = jnp.where(mask1, d1a, 0.0)
+    d0f = jnp.where(mask0 & flag0, d0f, 0.0)
+    d1f = jnp.where(mask1 & flag1, d1f, 0.0)
+    return d0a, d1a, d0f, d1f, i0a, i1a, i0f, i1f
 
 
 def _ssl_nn_fwd(pc0, pc1, mask0, mask1, flag0, flag1, spec):
-    out, extras = _ssl_core(pc0, pc1, mask0, mask1, flag0, flag1, spec)
+    out = _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec)
     _, _, _, _, i0a, i1a, i0f, i1f = out
-    return out, (pc0, pc1, mask0, mask1, flag0, flag1,
-                 i0a, i1a, i0f, i1f, extras)
+    return out, (pc0, pc1, mask0, mask1, flag0, flag1, i0a, i1a, i0f, i1f)
 
 
 def _ssl_nn_bwd(spec, res, cts):
     """Matched-pair subgradients of all four distance sets (the brute
     extension's autograd, extended to the dynamic-only terms)."""
-    pc0, pc1, m0, m1, f0, f1, i0a, i1a, i0f, i1f, extras = res
+    pc0, pc1, m0, m1, f0, f1, i0a, i1a, i0f, i1f = res
     g0a, g1a, g0f, g1f = cts[:4]
 
-    # kernel path: the match's coordinates came out of the sweep — ``p − q*``
-    # directly, no pc[i] row gathers (4 × ~6 ms saved).  XLA path: gather.
-    q0a, q0f, q1a, q1f = extras if extras is not None else (None,) * 4
-
-    def w_term(g, pq, qp, idx, row_ok, qstar):
-        matched = qstar if qstar is not None else _take_rows(qp, idx)
-        diff = jnp.where(row_ok[..., None], pq - matched, 0.0)
+    def w_term(g, pq, qp, idx, row_ok):
+        diff = jnp.where(row_ok[..., None], pq - _take_rows(qp, idx), 0.0)
         return (2.0 * g)[..., None] * diff
 
     any1 = jnp.any(m1, axis=-1, keepdims=True)
     any0 = jnp.any(m0, axis=-1, keepdims=True)
     anyf1 = jnp.any(m1 & f1, axis=-1, keepdims=True)
     anyf0 = jnp.any(m0 & f0, axis=-1, keepdims=True)
-    w0a = w_term(g0a, pc0, pc1, i0a, m0 & any1, q0a)
-    w1a = w_term(g1a, pc1, pc0, i1a, m1 & any0, q1a)
-    w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1, q0f)
-    w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0, q1f)
+    w0a = w_term(g0a, pc0, pc1, i0a, m0 & any1)
+    w1a = w_term(g1a, pc1, pc0, i1a, m1 & any0)
+    w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
+    w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)
 
     d_pc0 = _scatter_rows(_scatter_rows(w0a + w0f, i1a, -w1a), i1f, -w1f)
     d_pc1 = _scatter_rows(_scatter_rows(w1a + w1f, i0a, -w0a), i0f, -w0f)

@@ -64,7 +64,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(dual: bool, coords: bool):
+def _make_kernel(dual: bool):
     def _sweep_kernel(cs_ref, cn_ref, first_ref, total_ref,
                       q_ref, c_hbm, out_ref, wbuf, sems, slot_ref):
         k = pl.program_id(0)
@@ -114,11 +114,9 @@ def _make_kernel(dual: bool, coords: bool):
 
         def contrib(s, carry):
             cb = wbuf[s]                                   # [8, CHUNK_C]
-            cx, cy, cz = (cb[_CX:_CX + 1, :], cb[_CY:_CY + 1, :],
-                          cb[_CZ:_CZ + 1, :])
-            dx = qx - cx                                   # [CHUNK_Q, CHUNK_C]
-            dy = qy - cy
-            dz = qz - cz
+            dx = qx - cb[_CX:_CX + 1, :]                   # [CHUNK_Q, CHUNK_C]
+            dy = qy - cb[_CY:_CY + 1, :]
+            dz = qz - cb[_CZ:_CZ + 1, :]
             d = dx * dx + dy * dy + dz * dz
             # exact ring + sample test on precomputed row/col lanes (small
             # exact ints in f32; the per-sample gap row makes cross-sample
@@ -128,36 +126,22 @@ def _make_kernel(dual: bool, coords: bool):
             da = jnp.where(ok, d, _BIG)
             crow = cb[_CORIG:_CORIG + 1, :]
 
-            def best_of(dm, cur):
-                """Running (d, i[, q*]) update.  With ``coords`` the match's
-                COORDS ride along (selected via crow == i for tie
-                consistency) for unsort-free consumers; the default skips
-                them — an 11-operand unsort sort costs more than the
-                pc1[i] gathers it replaces (measured: 22.2 vs 23.0 pairs/s
-                SSL)."""
-                b, bi, bxx, byy, bzz = cur
+            def best_of(dm, b, bi):
                 m = jnp.min(dm, axis=1, keepdims=True)     # [CHUNK_Q, 1]
                 i = jnp.max(jnp.where(dm <= m, crow, -1.0),
                             axis=1, keepdims=True)
                 take = m < b
-                w = lambda new, old: jnp.where(take, new, old)
-                if not coords:
-                    return (w(m, b), w(i, bi), bxx, byy, bzz)
-                sel = (dm <= m) & (crow == i)
-                pick = lambda lane: jnp.max(
-                    jnp.where(sel, lane, -_BIG), axis=1, keepdims=True)
-                return (w(m, b), w(i, bi),
-                        w(pick(cx), bxx), w(pick(cy), byy), w(pick(cz), bzz))
+                return jnp.where(take, m, b), jnp.where(take, i, bi)
 
-            cur_a, cur_f = carry
-            cur_a = best_of(da, cur_a)
+            ba, bia, bf, bif = carry
+            ba, bia = best_of(da, ba, bia)
             if dual:
                 df = jnp.where(cb[_CFLAG:_CFLAG + 1, :] > 0.5, da, _BIG)
-                cur_f = best_of(df, cur_f)
-            return cur_a, cur_f
+                bf, bif = best_of(df, bf, bif)
+            return ba, bia, bf, bif
 
         def body(t, carry):
-            a0, a1, a2, a3, a4, f0, f1, f2, f3, f4, s = carry
+            *best, s = carry
             nxt = jax.lax.rem(s + 1, 3)
 
             @pl.when(t + 1 < total)
@@ -165,32 +149,27 @@ def _make_kernel(dual: bool, coords: bool):
                 dma(nxt, chunk_idx(t + 1)).start()
 
             dma(s, chunk_idx(t)).wait()
-            cur_a, cur_f = contrib(s, ((a0, a1, a2, a3, a4),
-                                       (f0, f1, f2, f3, f4)))
-            return (*cur_a, *cur_f, nxt)
+            return (*contrib(s, tuple(best)), nxt)
 
         big = jnp.full((CHUNK_Q, 1), _BIG, jnp.float32)
         neg = jnp.full((CHUNK_Q, 1), -1.0, jnp.float32)
-        zero = jnp.zeros((CHUNK_Q, 1), jnp.float32)
-        init = (big, neg, zero, zero, zero)
-        *done, _ = jax.lax.fori_loop(0, total, body, (*init, *init, s0))
+        ba, bia, bf, bif, _ = jax.lax.fori_loop(
+            0, total, body, (big, neg, big, neg, s0))
 
         @pl.when(do_pref & (total > 2))
         def _():
             dma(s_succ, first_ref[kn]).start()
 
         slot_ref[0] = s_succ
-        # lanes: d_a, i_a, qa_x, qa_y, qa_z, d_f, i_f, qf_x, qf_y, qf_z, 0…
         out_ref[:] = jnp.concatenate(
-            list(done) + [jnp.zeros((CHUNK_Q, 6), jnp.float32)], axis=1)
+            [ba, bia, bf, bif, jnp.zeros((CHUNK_Q, 4), jnp.float32)], axis=1)
 
     return _sweep_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dual", "coords"))
+@functools.partial(jax.jit, static_argnames=("dual",))
 def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
-                      cs: jnp.ndarray, cn: jnp.ndarray, dual: bool = True,
-                      coords: bool = False):
+                      cs: jnp.ndarray, cn: jnp.ndarray, dual: bool = True):
     """Low-level sweep call.
 
     Args:
@@ -203,11 +182,9 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
             index of each ring-row window.
         cn: [NQ_pad/CHUNK_Q, 3] i32 — candidate-chunk count per window.
     Returns:
-        [NQ_pad, 16] f32: lanes (d_all, i_all, qa_x, qa_y, qa_z, d_flag,
-        i_flag, qf_x, qf_y, qf_z, 0…) per sorted query; d = squared NN
-        distance (``3e38`` when no candidate), i = the matched candidate's
-        orig_row lane (−1 when none), q* = the match's coordinates (so the
-        chamfer VJP's ``p − q*`` needs no gather).
+        [NQ_pad, 8] f32: lanes (d_all, i_all, d_flag, i_flag, 0…) per sorted
+        query; d = squared NN distance (``3e38`` when no candidate), i = the
+        matched candidate's orig_row lane (−1 when none).
     """
     nq_pad = q_slab.shape[0]
     num_chunks = nq_pad // CHUNK_Q
@@ -226,7 +203,7 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.ANY),          # candidates, HBM
         ],
         out_specs=pl.BlockSpec(
-            (CHUNK_Q, 16), lambda k, *_: (k, 0), memory_space=pltpu.VMEM),
+            (CHUNK_Q, 8), lambda k, *_: (k, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((3, _CLANES, CHUNK_C), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
@@ -234,9 +211,9 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(dual, coords),
+        _make_kernel(dual),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nq_pad, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq_pad, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(cs.astype(jnp.int32).reshape(-1), cn.astype(jnp.int32).reshape(-1),

@@ -176,7 +176,8 @@ def main(cfg: Optional[Config] = None) -> Dict[str, float]:
     ds = HDF5Dataset(split_dir, max_points=int(cfg.max_points),
                      remove_ground=bool(cfg.remove_ground),
                      with_labels=(mode == "val"),
-                     submission_meta=(mode == "test"))
+                     submission_meta=(mode == "test"),
+                     num_frames=int(cfg.get("num_frames", 2)))
 
     sample = ds[0]
     sample_batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else v)

@@ -31,7 +31,8 @@ def main(cfg: Optional[Config] = None) -> str:
 
     data_dir = str(cfg.get("dataset_path"))
     ds = HDF5Dataset(data_dir, max_points=int(cfg.max_points),
-                     remove_ground=bool(cfg.remove_ground), with_labels=False)
+                     remove_ground=bool(cfg.remove_ground), with_labels=False,
+                     num_frames=int(cfg.get("num_frames", 2)))
 
     mesh = T.create_mesh(int(cfg.get("num_devices", -1)))
     model = build_model(cfg.model, precision=str(cfg.get("precision", "fp32")),

@@ -42,7 +42,8 @@ def main(cfg: Optional[Config] = None) -> dict:
     val_dir = str(cfg.val_data)
     val_ds = (
         HDF5Dataset(val_dir, max_points=int(cfg.max_points),
-                    remove_ground=bool(cfg.remove_ground))
+                    remove_ground=bool(cfg.remove_ground),
+                    num_frames=int(cfg.get("num_frames", 2)))
         if os.path.isdir(val_dir) else None
     )
     from deflow_tpu.data.host_prep import attach_host_prep

@@ -164,6 +164,9 @@ def write_submission(
 
 
 def main(cfg: Optional[Config] = None) -> Dict[str, float]:
+    from deflow_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if cfg is None:
         cfg = from_cli(config_name="config")
 

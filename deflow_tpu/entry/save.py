@@ -22,6 +22,9 @@ from deflow_tpu import trainer as T
 
 
 def main(cfg: Optional[Config] = None) -> str:
+    from deflow_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if cfg is None:
         cfg = from_cli()
 

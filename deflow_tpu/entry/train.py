@@ -23,6 +23,9 @@ from deflow_tpu.entry.evaluate import run_validation
 
 
 def main(cfg: Optional[Config] = None) -> dict:
+    from deflow_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if cfg is None:
         cfg = from_cli()
 

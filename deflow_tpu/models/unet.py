@@ -229,6 +229,14 @@ class Conv3x3S2D(nn.Module):
         return y + bias4
 
 
+def _fold_enc() -> bool:
+    """DEFLOW_FOLD_ENC=1: run encoder steps 2-4 phase-folded (experimental —
+    full-lane [H/4, W/4, 4C] tensors instead of half-lane C=64 maps)."""
+    import os
+
+    return os.environ.get("DEFLOW_FOLD_ENC", "0") == "1"
+
+
 class ConvWithNorms(nn.Module):
     """Conv2d + BatchNorm + GELU (reference decoder.py:202-220).
 
@@ -236,6 +244,10 @@ class ConvWithNorms(nn.Module):
     exactly 1x1 (a static-shape check, so it folds away under jit).
     ``space_to_depth`` swaps the conv for the phase-folded equivalent
     (k=8/s=2/p=3 only); the parameter tree is unchanged (``conv/kernel``).
+    ``folded_3x3`` evaluates the 3x3/s1 conv + BN + GELU on a PHASE-FOLDED
+    input [B, H/2, W/2, 4C] (structured kernel via :class:`Conv3x3S2D`; BN
+    stats aggregate over phases per original channel) — again with the
+    identical checkpoint parameter tree.
     """
 
     out_channels: int
@@ -245,9 +257,18 @@ class ConvWithNorms(nn.Module):
     dtype: Any = jnp.float32
     space_to_depth: bool = False
     s2d_input: bool = False  # input arrives already phase-folded
+    folded_3x3: bool = False  # input AND output phase-folded (3x3/s1 only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.folded_3x3:
+            assert (self.kernel_size, self.stride, self.padding) == (3, 1, 1)
+            y = Conv3x3S2D(self.out_channels, dtype=self.dtype, name="conv")(x)
+            ys = _phase_split(y)
+            ys = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              epsilon=1e-5, dtype=jnp.float32,
+                              name="batchnorm")(ys)
+            return _phase_merge(nn.gelu(ys, approximate=False))
         if self.space_to_depth:
             assert (self.kernel_size, self.stride, self.padding) == (8, 2, 3)
             cin = x.shape[-1] // 4 if self.s2d_input else x.shape[-1]
@@ -331,9 +352,12 @@ class FastFlow3DUNet(nn.Module):
         self.encoder_step_1 = ConvWithNorms(
             64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
             s2d_input=self.s2d, name="encoder_step_1")
-        self.encoder_step_2 = cwn(64, 3, 1, 1, "encoder_step_2")
-        self.encoder_step_3 = cwn(64, 3, 1, 1, "encoder_step_3")
-        self.encoder_step_4 = cwn(64, 3, 1, 1, "encoder_step_4")
+        fold = _fold_enc()
+        cwn_f = lambda c, k, s, p, name: ConvWithNorms(
+            c, k, s, p, dtype=self.dtype, folded_3x3=fold, name=name)
+        self.encoder_step_2 = cwn_f(64, 3, 1, 1, "encoder_step_2")
+        self.encoder_step_3 = cwn_f(64, 3, 1, 1, "encoder_step_3")
+        self.encoder_step_4 = cwn_f(64, 3, 1, 1, "encoder_step_4")
         self.encoder_step_5 = cwn(128, 8, 2, 3, "encoder_step_5")
         self.encoder_step_6 = cwn(128, 3, 1, 1, "encoder_step_6")
         self.encoder_step_7 = cwn(128, 3, 1, 1, "encoder_step_7")
@@ -360,9 +384,21 @@ class FastFlow3DUNet(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns the three skip scales (stride 2, 4, 8 feature maps)."""
         f = self.encoder_step_1(x, train)
-        f = self.encoder_step_2(f, train)
-        f = self.encoder_step_3(f, train)
-        n = self.encoder_step_4(f, train)          # [H/2, W/2, 64]
+        if self.encoder_step_2.folded_3x3:
+            # steps 2-4 phase-folded: full-lane [H/4, W/4, 256] tensors
+            # instead of half-lane C=64 maps (fold/unfold are two copies)
+            b, h, w, c = f.shape
+            ff = f.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+                0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+            ff = self.encoder_step_2(ff, train)
+            ff = self.encoder_step_3(ff, train)
+            ff = self.encoder_step_4(ff, train)
+            n = ff.reshape(b, h // 2, w // 2, 2, 2, c).transpose(
+                0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+        else:
+            f = self.encoder_step_2(f, train)
+            f = self.encoder_step_3(f, train)
+            n = self.encoder_step_4(f, train)      # [H/2, W/2, 64]
         f = self.encoder_step_5(n, train)
         f = self.encoder_step_6(f, train)
         f = self.encoder_step_7(f, train)

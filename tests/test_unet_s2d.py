@@ -98,3 +98,32 @@ def test_s2d_param_tree_matches_checkpoint_layout():
     leaf = variables["params"]["encoder_step_1"]["conv"]["kernel"]
     assert leaf.shape == (8, 8, 32, 64)
     assert variables["params"]["encoder_step_1"]["conv"]["bias"].shape == (64,)
+
+
+def test_folded_encoder_matches_plain(monkeypatch):
+    """DEFLOW_FOLD_ENC=1: encoder steps 2-4 evaluated phase-folded give the
+    same outputs from the SAME parameters (structured-kernel rearrangement +
+    phase-aggregated BN are exact)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deflow_tpu.models.unet import FastFlow3DUNet
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 32)).astype(np.float32))
+
+    plain = FastFlow3DUNet(dtype=jnp.float32)
+    variables = plain.init(jax.random.key(0), a, b, True)
+    out_plain, _ = plain.apply(variables, a, b, True,
+                               mutable=["batch_stats"])
+
+    monkeypatch.setenv("DEFLOW_FOLD_ENC", "1")
+    folded = FastFlow3DUNet(dtype=jnp.float32)
+    out_folded, _ = folded.apply(variables, a, b, True,
+                                 mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_folded), np.asarray(out_plain),
+                               rtol=1e-4, atol=1e-4)

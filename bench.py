@@ -152,8 +152,12 @@ def main():
     # BENCH_LOSS=seflowLoss benchmarks full-scale self-supervised (SeFlow)
     # training: grid-chamfer SSL loss, no gt flow consumed.
     loss_fn = os.environ.get("BENCH_LOSS", "deflowLoss")
-    cfg = compose("config", [f"batch_size={batch}", "lr=2e-4",
-                             f"loss_fn={loss_fn}", "precision=bf16"])
+    # BENCH_MODEL=fastflow3d benches the linear-decoder family (reference
+    # README.md:68); default is the flagship DeFlow GRU config.
+    model_name = os.environ.get("BENCH_MODEL", "deflow")
+    cfg = compose("config", [f"model={model_name}", f"batch_size={batch}",
+                             "lr=2e-4", f"loss_fn={loss_fn}",
+                             "precision=bf16"])
     model = build_model(cfg.model, precision="bf16")
     host_batch = make_batch(batch, n, valid, dist=dist)
 

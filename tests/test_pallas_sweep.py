@@ -182,3 +182,37 @@ def test_sweep_other_cell_size(interpret_pallas):
         np.testing.assert_allclose(
             np.minimum(np.asarray(d0[b]), t2)[mp[b]], ref[mp[b]],
             rtol=1e-5, atol=1e-5)
+
+
+def test_sweep_totally_empty_candidates(interpret_pallas):
+    """Whole candidate cloud masked out: all distances are the BIG sentinel
+    (clipped by truncation), no NaNs, kernel does zero DMA work."""
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    p, q, mp, mq, _, _ = _clouds(8)
+    mq[:] = False
+    d0, d1 = chamfer_distance(jnp.asarray(p), jnp.asarray(q),
+                              jnp.asarray(mp), jnp.asarray(mq), spec=SPEC)
+    assert np.all(np.isfinite(np.asarray(d0)))
+    assert np.all(np.asarray(d0)[mp] > SPEC.cell ** 2)
+    assert np.all(np.asarray(d1) == 0.0)       # masked rows zeroed
+
+
+def test_sweep_duplicate_and_single_points(interpret_pallas):
+    """Exact duplicates match at distance 0; a single valid point per sample
+    still resolves (the chunk machinery handles 1-row spans)."""
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    p = np.zeros((2, 8, 3), np.float32)
+    p[0, :, 0] = 1.0
+    p[1, :, 0] = -3.0
+    q = p.copy() + np.float32([0.5, 0.0, 0.0])  # within the same/next cell
+    mp = np.zeros((2, 8), bool)
+    mp[:, 0] = True                              # one valid query per sample
+    mq = np.ones((2, 8), bool)
+    d0, _, i0, _ = chamfer_distance(
+        jnp.asarray(p), jnp.asarray(q), jnp.asarray(mp), jnp.asarray(mq),
+        spec=SPEC, return_idx=True)
+    np.testing.assert_allclose(np.asarray(d0)[:, 0], 0.25, rtol=1e-6)
+    # duplicates in q: any of the 8 identical rows is a valid match
+    assert 0 <= int(np.asarray(i0)[0, 0]) < 8

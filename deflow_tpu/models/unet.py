@@ -229,6 +229,26 @@ class Conv3x3S2D(nn.Module):
         return y + bias4
 
 
+class _PWConv(nn.Module):
+    """3x3/s1/p1 conv with the Pallas wgrad backward (parameter names and
+    shapes identical to ``nn.Conv``: kernel [3,3,Cin,Cout] + bias)."""
+
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from deflow_tpu.ops.pallas_wgrad import conv3x3_pallas_bwd
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
+            (3, 3, x.shape[-1], self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        y = conv3x3_pallas_bwd(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(y.dtype)
+
+
 def _fold_enc() -> bool:
     """DEFLOW_FOLD_ENC=1: run encoder steps 2-4 phase-folded (experimental —
     full-lane [H/4, W/4, 4C] tensors instead of half-lane C=64 maps)."""
@@ -275,14 +295,25 @@ class ConvWithNorms(nn.Module):
             x = SpaceToDepthConv(self.out_channels, cin, dtype=self.dtype,
                                  pre_folded=self.s2d_input, name="conv")(x)
         else:
-            x = nn.Conv(
-                self.out_channels,
-                (self.kernel_size, self.kernel_size),
-                strides=(self.stride, self.stride),
-                padding=((self.padding, self.padding), (self.padding, self.padding)),
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+            from deflow_tpu.ops.pallas_wgrad import (
+                T_ROWS, conv3x3_pallas_bwd, use_pallas_wgrad)
+
+            if ((self.kernel_size, self.stride, self.padding) == (3, 1, 1)
+                    and x.shape[1] % T_ROWS == 0 and use_pallas_wgrad()):
+                # same parameter tree as nn.Conv (conv/kernel, conv/bias);
+                # only the weight-grad path changes (Pallas wgrad kernel)
+                x = _PWConv(self.out_channels, dtype=self.dtype,
+                            name="conv")(x)
+            else:
+                x = nn.Conv(
+                    self.out_channels,
+                    (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=((self.padding, self.padding),
+                             (self.padding, self.padding)),
+                    dtype=self.dtype,
+                    name="conv",
+                )(x)
         if not (x.shape[1] == 1 and x.shape[2] == 1):
             # f32 BN on purpose: ablated dtype=self.dtype (bf16) on v5e and it
             # LOST ~3% step time (32.4 vs 33.3 pairs/s) — XLA's convert+reduce

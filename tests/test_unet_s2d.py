@@ -127,3 +127,45 @@ def test_folded_encoder_matches_plain(monkeypatch):
                                  mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(out_folded), np.asarray(out_plain),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_wgrad_conv_matches_nn_conv(monkeypatch):
+    """DEFLOW_PALLAS_WGRAD=1: identical params, identical forward, and the
+    Pallas weight gradient matches XLA's conv wgrad."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    import deflow_tpu.ops.voxel as V
+    monkeypatch.setattr(V, "_use_pallas", lambda: True)
+
+    from deflow_tpu.models.unet import ConvWithNorms
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 8)).astype(np.float32))
+
+    plain = ConvWithNorms(8, 3, 1, 1, dtype=jnp.float32)
+    variables = plain.init(jax.random.key(0), x, True)
+
+    def loss(params, mod):
+        y, _ = mod.apply({"params": params, "batch_stats":
+                          variables.get("batch_stats", {})}, x, True,
+                         mutable=["batch_stats"])
+        return jnp.sum(y ** 2)
+
+    v0, g0 = jax.value_and_grad(loss)(variables["params"], plain)
+
+    monkeypatch.setenv("DEFLOW_PALLAS_WGRAD", "1")
+    pw = ConvWithNorms(8, 3, 1, 1, dtype=jnp.float32)
+    v1, g1 = jax.value_and_grad(loss)(variables["params"], pw)
+
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5),
+        g0, g1)

@@ -257,6 +257,34 @@ def _fold_enc() -> bool:
     return os.environ.get("DEFLOW_FOLD_ENC", "0") == "1"
 
 
+def _remat() -> str:
+    """DEFLOW_REMAT rematerializes the UNet's ConvWithNorms blocks.
+
+    ``1``: full-block remat — backward recomputes conv+BN+GELU (saves only
+    block inputs).  Measured 32.6 vs 35.3 pairs/s on v5e (recompute FLOPs >
+    stash traffic) — negative result, kept for memory-constrained configs.
+    ``conv``: policy remat — conv outputs are saved, backward recomputes only
+    the BN normalize + GELU elementwise chain (drops the f32 [8,256,256,64]
+    stashes without redoing conv FLOPs)."""
+    import os
+
+    return os.environ.get("DEFLOW_REMAT", "0")
+
+
+def _remat_wrap(cls):
+    mode = _remat()
+    if mode == "1":
+        return nn.remat(cls, static_argnums=(2,))
+    if mode == "conv":
+        import jax
+
+        def save_convs(prim, *_, **__):
+            return prim.name in ("conv_general_dilated", "dot_general")
+
+        return nn.remat(cls, static_argnums=(2,), policy=save_convs)
+    return cls
+
+
 class ConvWithNorms(nn.Module):
     """Conv2d + BatchNorm + GELU (reference decoder.py:202-220).
 
@@ -377,14 +405,15 @@ class FastFlow3DUNet(nn.Module):
     s2d: bool = False
 
     def setup(self):
-        cwn = lambda c, k, s, p, name: ConvWithNorms(
+        CWN = _remat_wrap(ConvWithNorms)
+        cwn = lambda c, k, s, p, name: CWN(
             c, k, s, p, dtype=self.dtype, name=name
         )
-        self.encoder_step_1 = ConvWithNorms(
+        self.encoder_step_1 = CWN(
             64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
             s2d_input=self.s2d, name="encoder_step_1")
         fold = _fold_enc()
-        cwn_f = lambda c, k, s, p, name: ConvWithNorms(
+        cwn_f = lambda c, k, s, p, name: CWN(
             c, k, s, p, dtype=self.dtype, folded_3x3=fold, name=name)
         self.encoder_step_2 = cwn_f(64, 3, 1, 1, "encoder_step_2")
         self.encoder_step_3 = cwn_f(64, 3, 1, 1, "encoder_step_3")

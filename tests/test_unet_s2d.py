@@ -129,6 +129,43 @@ def test_folded_encoder_matches_plain(monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_remat_unet_matches_plain(monkeypatch):
+    """DEFLOW_REMAT in {1, conv}: identical parameter tree, identical
+    forward, and matching gradients up to reduction reassociation (remat
+    only changes what the backward recomputes vs stashes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deflow_tpu.models.unet import FastFlow3DUNet
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 32)).astype(np.float32))
+
+    plain = FastFlow3DUNet(dtype=jnp.float32)
+    variables = plain.init(jax.random.key(0), a, b, True)
+
+    def grads(mod):
+        def loss(p):
+            out, _ = mod.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                a, b, True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return jax.jit(jax.value_and_grad(loss))(variables["params"])
+
+    v0, g0 = grads(plain)
+    for mode in ("1", "conv"):
+        monkeypatch.setenv("DEFLOW_REMAT", mode)
+        vr, gr = grads(FastFlow3DUNet(dtype=jnp.float32))
+        assert jax.tree.structure(gr) == jax.tree.structure(g0)
+        np.testing.assert_allclose(float(vr), float(v0), rtol=1e-6)
+        # atol covers the BN-preceded conv biases, whose gradients are
+        # analytically zero and numerically pure cancellation noise (~1e-3)
+        jax.tree.map(lambda x, y: np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), rtol=2e-4, atol=3e-3), g0, gr)
+
+
 def test_pallas_wgrad_conv_matches_nn_conv(monkeypatch):
     """DEFLOW_PALLAS_WGRAD=1: identical params, identical forward, and the
     Pallas weight gradient matches XLA's conv wgrad."""

@@ -257,6 +257,96 @@ def _fold_enc() -> bool:
     return os.environ.get("DEFLOW_FOLD_ENC", "0") == "1"
 
 
+class _ConvParams(nn.Module):
+    """Parameter twin of ``nn.Conv`` (kernel [3,3,Cin,Cout] + bias) — holds
+    the variables for a fused-chain stage without owning the compute.  Init
+    fns bit-match ``nn.Conv`` defaults (verified in tests)."""
+
+    cin: int
+    out_channels: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
+            (3, 3, self.cin, self.out_channels))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
+class _BNParams(nn.Module):
+    """Parameter twin of ``nn.BatchNorm`` (scale/bias params + mean/var
+    batch_stats) for fused-chain stages."""
+
+    c: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.c,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.c,))
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros((self.c,)))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones((self.c,)))
+
+    def __call__(self):
+        return self.scale, self.bias
+
+
+class CBGBlock(nn.Module):
+    """ConvWithNorms(3,1,1) twin whose TRAIN compute lives in the fused
+    Pallas chain (ops/pallas_cbg.py) driven by the parent UNet.
+
+    Variable tree is identical to ConvWithNorms (``conv/{kernel,bias}``,
+    ``batchnorm/{scale,bias}`` + batch_stats) so checkpoints are
+    interchangeable; ``__call__`` is the plain XLA fallback (eval mode)."""
+
+    cin: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv = _ConvParams(self.cin, self.out_channels, name="conv")
+        self.batchnorm = _BNParams(self.out_channels, name="batchnorm")
+
+    def handles(self):
+        """(wmat, bias2d, gamma, beta) for ops/pallas_cbg.cbg_chain."""
+        return (self.conv.kernel.astype(self.dtype),
+                self.conv.bias.astype(self.dtype)[None, :],
+                self.batchnorm.scale.astype(jnp.float32),
+                self.batchnorm.bias.astype(jnp.float32))
+
+    def update_stats(self, mean, var):
+        """Running-stat update with flax BatchNorm semantics (momentum 0.9,
+        biased batch var, skipped during init)."""
+        if not self.is_initializing():
+            m = 0.9
+            self.batchnorm.mean.value = (
+                m * self.batchnorm.mean.value + (1 - m) * mean)
+            self.batchnorm.var.value = (
+                m * self.batchnorm.var.value + (1 - m) * var)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k, b = self.conv()
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b.astype(self.dtype)
+        g, be = self.batchnorm()
+        yf = y.astype(jnp.float32)
+        if train:
+            mu = yf.mean(axis=(0, 1, 2))
+            var = (yf * yf).mean(axis=(0, 1, 2)) - mu * mu
+            self.update_stats(mu, var)
+        else:
+            mu = self.batchnorm.mean.value
+            var = self.batchnorm.var.value
+        z = (yf - mu) * jax.lax.rsqrt(var + 1e-5) * g + be
+        return nn.gelu(z, approximate=False)
+
+
 def _remat() -> str:
     """DEFLOW_REMAT rematerializes the UNet's ConvWithNorms blocks.
 
@@ -405,6 +495,8 @@ class FastFlow3DUNet(nn.Module):
     s2d: bool = False
 
     def setup(self):
+        from deflow_tpu.ops.pallas_cbg import use_fused_cbg
+
         CWN = _remat_wrap(ConvWithNorms)
         cwn = lambda c, k, s, p, name: CWN(
             c, k, s, p, dtype=self.dtype, name=name
@@ -413,17 +505,25 @@ class FastFlow3DUNet(nn.Module):
             64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
             s2d_input=self.s2d, name="encoder_step_1")
         fold = _fold_enc()
-        cwn_f = lambda c, k, s, p, name: CWN(
-            c, k, s, p, dtype=self.dtype, folded_3x3=fold, name=name)
+        fused = use_fused_cbg()
+        if fused:
+            cbg = lambda cin, c, name: CBGBlock(
+                cin, c, dtype=self.dtype, name=name)
+            cwn_f = lambda c, k, s, p, name: cbg(c, c, name)
+            cwn3 = cwn_f
+        else:
+            cwn_f = lambda c, k, s, p, name: CWN(
+                c, k, s, p, dtype=self.dtype, folded_3x3=fold, name=name)
+            cwn3 = cwn
         self.encoder_step_2 = cwn_f(64, 3, 1, 1, "encoder_step_2")
         self.encoder_step_3 = cwn_f(64, 3, 1, 1, "encoder_step_3")
         self.encoder_step_4 = cwn_f(64, 3, 1, 1, "encoder_step_4")
         self.encoder_step_5 = cwn(128, 8, 2, 3, "encoder_step_5")
-        self.encoder_step_6 = cwn(128, 3, 1, 1, "encoder_step_6")
-        self.encoder_step_7 = cwn(128, 3, 1, 1, "encoder_step_7")
-        self.encoder_step_8 = cwn(128, 3, 1, 1, "encoder_step_8")
+        self.encoder_step_6 = cwn3(128, 3, 1, 1, "encoder_step_6")
+        self.encoder_step_7 = cwn3(128, 3, 1, 1, "encoder_step_7")
+        self.encoder_step_8 = cwn3(128, 3, 1, 1, "encoder_step_8")
         self.encoder_step_9 = cwn(256, 8, 2, 3, "encoder_step_9")
-        self.encoder_step_10 = cwn(256, 3, 1, 1, "encoder_step_10")
+        self.encoder_step_10 = cwn3(256, 3, 1, 1, "encoder_step_10")
 
         self.decoder_step1 = UpsampleSkip(512, 256, dtype=self.dtype, name="decoder_step1")
         self.decoder_step2 = UpsampleSkip(256, 128, dtype=self.dtype, name="decoder_step2")
@@ -439,12 +539,39 @@ class FastFlow3DUNet(nn.Module):
                 64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                 name="decoder_step4")
 
+    def _chain(self, mods, x: jnp.ndarray) -> jnp.ndarray:
+        """Run consecutive CBGBlock stages through the fused Pallas chain."""
+        from deflow_tpu.ops import pallas_cbg as C
+
+        b, h, w, c = x.shape
+        params = tuple(m.handles() for m in mods)
+        x_g = C.guard_pad(x.astype(self.dtype).reshape(b * h * w, c),
+                          b, h, w)
+        y_g, means, variances = C.cbg_chain((b, h, w, 1e-5), x_g, params)
+        for m, mu, var in zip(mods, means, variances):
+            m.update_stats(mu, var)
+        y = C.guard_slice(y_g, b, h, w).reshape(
+            b, h, w, mods[-1].out_channels)
+        return y.astype(jnp.float32)
+
+    def _stage3(self, mods, f: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """A run of plain-3x3 blocks: fused Pallas chain when the stages are
+        CBGBlocks in train mode, per-block calls otherwise."""
+        from deflow_tpu.ops.pallas_cbg import T_ROWS
+
+        if (isinstance(mods[0], CBGBlock) and train
+                and f.shape[1] % T_ROWS == 0 and f.shape[2] % 8 == 0):
+            return self._chain(mods, f)
+        for m in mods:
+            f = m(f, train)
+        return f
+
     def _encode(
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns the three skip scales (stride 2, 4, 8 feature maps)."""
         f = self.encoder_step_1(x, train)
-        if self.encoder_step_2.folded_3x3:
+        if getattr(self.encoder_step_2, "folded_3x3", False):
             # steps 2-4 phase-folded: full-lane [H/4, W/4, 256] tensors
             # instead of half-lane C=64 maps (fold/unfold are two copies)
             b, h, w, c = f.shape
@@ -456,15 +583,13 @@ class FastFlow3DUNet(nn.Module):
             n = ff.reshape(b, h // 2, w // 2, 2, 2, c).transpose(
                 0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
         else:
-            f = self.encoder_step_2(f, train)
-            f = self.encoder_step_3(f, train)
-            n = self.encoder_step_4(f, train)      # [H/2, W/2, 64]
+            n = self._stage3([self.encoder_step_2, self.encoder_step_3,
+                              self.encoder_step_4], f, train)  # [H/2,W/2,64]
         f = self.encoder_step_5(n, train)
-        f = self.encoder_step_6(f, train)
-        f = self.encoder_step_7(f, train)
-        r = self.encoder_step_8(f, train)          # [H/4, W/4, 128]
+        r = self._stage3([self.encoder_step_6, self.encoder_step_7,
+                          self.encoder_step_8], f, train)      # [H/4,W/4,128]
         f = self.encoder_step_9(r, train)
-        t = self.encoder_step_10(f, train)         # [H/8, W/8, 256]
+        t = self._stage3([self.encoder_step_10], f, train)     # [H/8,W/8,256]
         return n, r, t
 
     def __call__(

@@ -1,0 +1,524 @@
+"""Pallas TPU kernels: fused Conv3x3(s1,p1) + BatchNorm(train) + GELU chains.
+
+Replaces the UNet's plain-3x3 ``ConvWithNorms`` stages (reference
+decoder.py:202-220 semantics) for TRAINING on TPU.  Motivation (measured,
+tools/trace_step.py @ bs=4): the XLA lowering of these stages is the
+supervised step's long tail — per 256² block ≈ 1.04 ms dual-dtype
+(bf16,f32) forward stash fusions, 0.74 ms BN-stat convert_reduce, 1.3-1.7 ms
+BN backward fusions, plus wgrad/dgrad layout churn; ~15-20 ms across the
+seven 3x3 stages.  Op-granular Pallas insertion LOSES (pallas_wgrad.py's
+measured negative: XLA materializes channel pads + pre-shifted copies
+around custom-calls), so these kernels fuse whole blocks and chain through
+HBM only via the PRE-BN conv outputs ``s_i``:
+
+    forward  block i:  s_i = conv3x3(gelu(bn_i-1(s_{i-1}))) + bias_i
+                       (+ per-grid-step partial Σ/Σ² lanes → batch stats)
+    backward block i:  dz_i --(BN-correct to ds_i on load)-->
+                       dz_{i-1} = dgrad(ds_i) ⊙ gelu'(z_{i-1}),
+                       dW_i (9 in-kernel wgrad taps), db_i, Σdz/Σdz·ẑ lanes
+
+Design rules (each one a lesson from a measured failure):
+- activations stay FLAT ``[(steps+2)·T·W, C]`` bf16 between kernels, with
+  one T·W-row zero guard block on each end — kernels write their outputs
+  already-guarded (out block k+1), so no XLA pad/slice ever materializes
+  between chained blocks;
+- the 3 kx taps come from in-kernel ``pltpu.roll`` (±1 sublane) plus an
+  x-edge iota mask — NOT pre-shifted HBM copies (1.19 ms each, measured);
+- channel dims are NOT padded to 128 (C=64 runs half-lane): avoiding XLA's
+  materialized channel pad (2.2 ms, measured) beats full MXU lanes;
+- halo rows are re-fetched per grid step ((T+2)-row windows) and image
+  boundaries are zero-masked in-kernel via the block index — the guard
+  blocks make every DMA offset valid with one static shape;
+- BN batch stats come from per-grid-step PARTIAL sums (``[steps, 2, C]``)
+  tree-reduced by XLA in f32 — a single sequential f32 accumulator across
+  256 steps loses ~3 digits at 524k elements;
+- partial sums are taken on the bf16-ROUNDED ``s`` so the stats match the
+  plain path bit-for-bit semantics (flax BN reads the bf16 conv output).
+
+Eval mode, CPU, and non-3x3 stages keep the plain XLA path (models/unet.py
+routes via ``use_fused_cbg()``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_ROWS = 8          # output rows per grid step
+_SQRT1_2 = 0.7071067811865476
+_SQRT1_2PI = 0.3989422804014327
+
+
+def _gelu_f32(x):
+    """Exact GELU (erf form) — matches jax.nn.gelu(approximate=False)."""
+    return x * (0.5 * (1.0 + jax.lax.erf(x * _SQRT1_2)))
+
+
+def _gelu_grad_f32(x):
+    """d/dx gelu(x) = Φ(x) + x·φ(x)."""
+    phi = jnp.exp(x * x * -0.5) * _SQRT1_2PI
+    cdf = 0.5 * (1.0 + jax.lax.erf(x * _SQRT1_2))
+    return cdf + x * phi
+
+
+# per-block scalar slab lanes (f32 [N_SCAL, C])
+_S_MEAN, _S_ISTD, _S_GAMMA, _S_BETA, _S_A, _S_B = range(6)
+N_SCAL = 6
+
+
+def _bn_apply(x, scal):
+    return ((x - scal[_S_MEAN]) * scal[_S_ISTD] * scal[_S_GAMMA]
+            + scal[_S_BETA])
+
+
+def _guarded_rows(n_steps: int, t: int, w: int) -> int:
+    return (n_steps + 2) * t * w
+
+
+def _win_masks(u, jj, last, t, w):
+    """Zero the halo rows that fall outside the current image."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    u = jnp.where((jj == 0) & (rows < w), 0, u)
+    u = jnp.where((jj == last) & (rows >= (t + 1) * w), 0, u)
+    return u
+
+
+def _tap_bufs(u, w):
+    """(left, center, right) kx-tap views of a flat window via sublane roll.
+
+    left[f] = u[f-1] (the x-1 neighbor), right[f] = u[f+1]; the wrapped
+    column (crossing a spatial row) is zero — conv's implicit x-padding.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    left = pltpu.roll(u, 1, 0)
+    left = jnp.where(jax.lax.rem(rows, w) == 0, 0, left)
+    right = pltpu.roll(u, u.shape[0] - 1, 0)   # ≡ roll by −1
+    right = jnp.where(jax.lax.rem(rows, w) == w - 1, 0, right)
+    return (left, u, right)
+
+
+# ------------------------------------------------------------------ forward
+def _make_fwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
+                     has_prev: bool, out_dtype):
+    hw = (t + 2) * w
+    last = blocks - 1
+
+    def kernel(x_hbm, wmat_ref, bias_ref, scal_ref, s_ref, ps_ref,
+               xbuf, sems):
+        g = pl.program_id(0)
+
+        def start(slot, k):
+            bb = k // blocks
+            jj = k - bb * blocks
+            off = (bb * h + jj * t + t - 1) * w   # guard-padded row offset
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(off, hw)], xbuf.at[slot],
+                sems.at[slot]).start()
+
+        @pl.when((g + 1 >= 1) & (g + 1 <= n_steps))
+        def _():
+            start((g + 1) % 2, g)          # data for step g+1 is k = g
+
+        interior = (g >= 1) & (g <= n_steps)
+
+        @pl.when(interior)
+        def _():
+            k = g - 1
+            jj = jax.lax.rem(k, blocks)
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, hw)], xbuf.at[g % 2],
+                sems.at[g % 2]).wait()
+
+            x = xbuf[g % 2]
+            if has_prev:
+                u = _gelu_f32(_bn_apply(x.astype(jnp.float32), scal_ref[...]))
+            else:
+                u = x.astype(jnp.float32)
+            u = _win_masks(u, jj, last, t, w).astype(x_hbm.dtype)
+            taps = _tap_bufs(u, w)
+
+            o = wmat_ref.shape[-1]
+            acc = jnp.zeros((t * w, o), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    win = taps[kx][ky * w:(ky + t) * w]
+                    acc = acc + jax.lax.dot_general(
+                        win, wmat_ref[ky, kx],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            acc = acc + bias_ref[...].astype(jnp.float32)
+            sbf = acc.astype(out_dtype)
+            s_ref[...] = sbf
+            sf = sbf.astype(jnp.float32)
+            ps_ref[0, 0] = jnp.sum(sf, axis=0)
+            ps_ref[0, 1] = jnp.sum(sf * sf, axis=0)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            s_ref[...] = jnp.zeros_like(s_ref)
+            ps_ref[...] = jnp.zeros_like(ps_ref)
+
+    return kernel
+
+
+def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
+                  scal: Optional[jnp.ndarray], b: int, h: int, w: int):
+    """One fused block forward on guard-padded flat input.
+
+    x_g:  [(steps+2)·T·W, C] compute-dtype — previous block's pre-BN conv
+          output (or the chain input), one T·W zero guard block each end.
+    wmat: [3, 3, C, O] compute dtype;  bias: [1, O];
+    scal: [N_SCAL, C] f32 input-side BN scalars, or None (chain head).
+    Returns (s [(steps+2)·T·W, O], partial_sums [steps+2, 2, O] f32).
+    """
+    t = T_ROWS
+    assert h % t == 0 and w % 8 == 0, (h, w)
+    blocks = h // t
+    n_steps = b * blocks
+    c = x_g.shape[1]
+    o = wmat.shape[-1]
+    assert x_g.shape[0] == _guarded_rows(n_steps, t, w), x_g.shape
+    has_prev = scal is not None
+    if scal is None:
+        scal = jnp.zeros((N_SCAL, c), jnp.float32)
+
+    grid = (n_steps + 2,)
+    s, ps = pl.pallas_call(
+        _make_fwd_kernel(h, w, t, blocks, n_steps, has_prev, x_g.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((3, 3, c, o), lambda g: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, o), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_SCAL, c), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t * w, o), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, o), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, (t + 2) * w, c), x_g.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((_guarded_rows(n_steps, t, w), o), x_g.dtype),
+            jax.ShapeDtypeStruct((n_steps + 2, 2, o), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x_g, wmat, bias, scal)
+    return s, ps
+
+
+# ----------------------------------------------------------------- backward
+def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
+                     has_prev: bool, out_dtype):
+    hw = (t + 2) * w
+    last = blocks - 1
+
+    def kernel(dz_hbm, si_hbm, sp_hbm, wmat_ref, scal_in_ref, scal_out_ref,
+               dzp_ref, dw_ref, db_ref, psp_ref, dzbuf, sibuf, spbuf, sems):
+        g = pl.program_id(0)
+
+        def start(slot, k):
+            bb = k // blocks
+            jj = k - bb * blocks
+            off = (bb * h + jj * t + t - 1) * w
+            pltpu.make_async_copy(dz_hbm.at[pl.ds(off, hw)],
+                                  dzbuf.at[slot], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(si_hbm.at[pl.ds(off, hw)],
+                                  sibuf.at[slot], sems.at[slot, 1]).start()
+            pltpu.make_async_copy(sp_hbm.at[pl.ds(off, hw)],
+                                  spbuf.at[slot], sems.at[slot, 2]).start()
+
+        @pl.when((g + 1 >= 1) & (g + 1 <= n_steps))
+        def _():
+            start((g + 1) % 2, g)
+
+        interior = (g >= 1) & (g <= n_steps)
+
+        @pl.when(g == 0)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        @pl.when(interior)
+        def _():
+            k = g - 1
+            jj = jax.lax.rem(k, blocks)
+            s = g % 2
+            pltpu.make_async_copy(dz_hbm.at[pl.ds(0, hw)], dzbuf.at[s],
+                                  sems.at[s, 0]).wait()
+            pltpu.make_async_copy(si_hbm.at[pl.ds(0, hw)], sibuf.at[s],
+                                  sems.at[s, 1]).wait()
+            pltpu.make_async_copy(sp_hbm.at[pl.ds(0, hw)], spbuf.at[s],
+                                  sems.at[s, 2]).wait()
+
+            scal_in = scal_in_ref[...]
+            dz = dzbuf[s].astype(jnp.float32)
+            zi_hat = ((sibuf[s].astype(jnp.float32) - scal_in[_S_MEAN])
+                      * scal_in[_S_ISTD])
+            ds = (scal_in[_S_GAMMA] * scal_in[_S_ISTD]
+                  * (dz - scal_in[_S_A] - zi_hat * scal_in[_S_B]))
+            ds = _win_masks(ds, jj, last, t, w).astype(out_dtype)
+            ds_taps = _tap_bufs(ds, w)
+
+            if has_prev:
+                scal_out = scal_out_ref[...]
+                zp = _bn_apply(spbuf[s].astype(jnp.float32), scal_out)
+                x = _gelu_f32(zp)
+            else:
+                zp = spbuf[s].astype(jnp.float32)
+                x = zp
+            x = _win_masks(x, jj, last, t, w).astype(out_dtype)
+            x_taps = _tap_bufs(x, w)
+
+            c = dzp_ref.shape[-1]
+            ds_c = ds[w:(t + 1) * w]
+            dx = jnp.zeros((t * w, c), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    # dgrad: dx[y,x] += ds[y+1-ky, x+1-kx] · W[ky,kx,:,o]
+                    dwin = ds_taps[2 - kx][(2 - ky) * w:(2 - ky + t) * w]
+                    dx = dx + jax.lax.dot_general(
+                        dwin, wmat_ref[ky, kx],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # wgrad: dW[ky,kx] += x[y+ky-1, x+kx-1]ᵀ · ds[y,x]
+                    xwin = x_taps[kx][ky * w:(ky + t) * w]
+                    dw_ref[ky, kx] = dw_ref[ky, kx] + jax.lax.dot_general(
+                        xwin, ds_c,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+            db_ref[0, 0] = jnp.sum(ds_c.astype(jnp.float32), axis=0)
+
+            if has_prev:
+                zp_c = zp[w:(t + 1) * w]
+                dzp = dx * _gelu_grad_f32(zp_c)
+                zp_hat_c = ((spbuf[s].astype(jnp.float32)[w:(t + 1) * w]
+                             - scal_out[_S_MEAN]) * scal_out[_S_ISTD])
+                psp_ref[0, 0] = jnp.sum(dzp, axis=0)
+                psp_ref[0, 1] = jnp.sum(dzp * zp_hat_c, axis=0)
+                dzp_ref[...] = dzp.astype(out_dtype)
+            else:
+                psp_ref[...] = jnp.zeros_like(psp_ref)
+                dzp_ref[...] = dx.astype(out_dtype)
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            dzp_ref[...] = jnp.zeros_like(dzp_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+            psp_ref[...] = jnp.zeros_like(psp_ref)
+
+    return kernel
+
+
+def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
+                  wmat: jnp.ndarray, scal_in: jnp.ndarray,
+                  scal_out: Optional[jnp.ndarray], b: int, h: int, w: int):
+    """One fused block backward on guard-padded flat buffers.
+
+    dz_g: [(steps+2)·T·W, O] — dL/ds_i pre-BN-correction (dz_i = dy⊙gelu');
+    si_g: s_i (this block's pre-BN output, saved by forward);
+    sp_g: s_{i-1} (previous block's pre-BN output / chain input);
+    scal_in:  [N_SCAL, O] — block i's BN scalars + A/B mean-correction;
+    scal_out: [N_SCAL, C] — block i-1's BN scalars (None at chain head).
+    Returns (dz_prev [(steps+2)·T·W, C], dW [3,3,C,O] f32,
+             db_partials [steps+2, 1, O] f32, ps_prev [steps+2, 2, C] f32).
+    """
+    t = T_ROWS
+    blocks = h // t
+    n_steps = b * blocks
+    c = sp_g.shape[1]
+    o = dz_g.shape[1]
+    has_prev = scal_out is not None
+    if scal_out is None:
+        scal_out = jnp.zeros((N_SCAL, c), jnp.float32)
+
+    grid = (n_steps + 2,)
+    dzp, dw, db, psp = pl.pallas_call(
+        _make_bwd_kernel(h, w, t, blocks, n_steps, has_prev, dz_g.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((3, 3, c, o), lambda g: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_SCAL, o), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_SCAL, c), lambda g: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((t * w, c), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 3, c, o), lambda g: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, o), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, c), lambda g: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, (t + 2) * w, o), dz_g.dtype),
+                pltpu.VMEM((2, (t + 2) * w, o), si_g.dtype),
+                pltpu.VMEM((2, (t + 2) * w, c), sp_g.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((_guarded_rows(n_steps, t, w), c),
+                                 dz_g.dtype),
+            jax.ShapeDtypeStruct((3, 3, c, o), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + 2, 1, o), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps + 2, 2, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(dz_g, si_g, sp_g, wmat, scal_in, scal_out)
+    return dzp, dw, db, psp
+
+
+# ------------------------------------------------------------- chain (VJP)
+def _scal_slab(mean, istd, gamma, beta, a=None, b=None):
+    c = mean.shape[0]
+    z = jnp.zeros((c,), jnp.float32)
+    return jnp.stack([mean, istd, gamma, beta,
+                      z if a is None else a, z if b is None else b])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def cbg_chain(dims: Tuple[int, int, int, float], x_g, params):
+    """Fused chain of conv3x3+BN(train)+GELU blocks.
+
+    dims = (b, h, w, eps).  ``x_g`` is the guard-padded flat chain input.
+    ``params`` is a tuple of (wmat [3,3,C,O], bias [1,O], gamma [O],
+    beta [O]) per block (compute dtype for wmat/bias, f32 for γ/β).
+    Returns (y_g [(steps+2)·T·W, O_last] — post-BN+GELU output of the last
+    block, guard rows garbage-but-finite; means, vars: tuples of [O] f32
+    batch stats per block for the running-stat update).
+    """
+    out, _ = _chain_fwd_impl(dims, x_g, params)
+    return out
+
+
+def _chain_fwd_impl(dims, x_g, params):
+    b, h, w, eps = dims
+    n = b * h * w
+    s_prev, scal = x_g, None
+    s_list, stat_list = [], []
+    for (wm, bi, ga, be) in params:
+        s, ps = cbg_block_fwd(s_prev, wm, bi, scal, b, h, w)
+        tot = jnp.sum(ps, axis=0)                   # [2, O] f32
+        mean = tot[0] / n
+        var = tot[1] / n - mean * mean
+        istd = jax.lax.rsqrt(var + eps)
+        scal = _scal_slab(mean, istd, ga, be)
+        s_list.append(s)
+        stat_list.append((mean, var, istd))
+        s_prev = s
+    # tail activation (one fused elementwise pass; guard rows junk-finite)
+    y = _gelu_f32(_bn_apply(s_list[-1].astype(jnp.float32), scal)).astype(
+        x_g.dtype)
+    means = tuple(m for m, _, _ in stat_list)
+    variances = tuple(v for _, v, _ in stat_list)
+    return (y, means, variances), (x_g, tuple(s_list),
+                                   tuple(i for _, _, i in stat_list),
+                                   tuple(m for m, _, _ in stat_list))
+
+
+def _chain_fwd(dims, x_g, params):
+    out, res = _chain_fwd_impl(dims, x_g, params)
+    return out, (res, params)
+
+
+def _chain_bwd(dims, res_all, cts):
+    (x_g, s_list, istd_list, mean_list), params = res_all
+    dy = cts[0]          # cotangents of means/vars are stop-gradient zeros
+    b, h, w, eps = dims
+    n = b * h * w
+    nb = len(params)
+
+    # E0: top-of-chain dz = dy ⊙ gelu'(z_last)  (+ its stat sums)
+    wm, bi, ga, be = params[-1]
+    scal_top = _scal_slab(mean_list[-1], istd_list[-1], ga, be)
+    z_top = _bn_apply(s_list[-1].astype(jnp.float32), scal_top)
+    dz = (dy.astype(jnp.float32) * _gelu_grad_f32(z_top))
+    z_hat = ((s_list[-1].astype(jnp.float32) - mean_list[-1])
+             * istd_list[-1])
+    sum_dz = jnp.sum(dz, axis=0)
+    sum_dzz = jnp.sum(dz * z_hat, axis=0)
+    dz = dz.astype(dy.dtype)
+
+    grads = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        wm, bi, ga, be = params[i]
+        a_vec = sum_dz / n
+        b_vec = sum_dzz / n
+        d_gamma = sum_dzz                  # Σ dz·ẑ
+        d_beta = sum_dz
+        scal_in = _scal_slab(mean_list[i], istd_list[i],
+                             ga.astype(jnp.float32), be.astype(jnp.float32),
+                             a_vec, b_vec)
+        if i > 0:
+            gp, bp = params[i - 1][2], params[i - 1][3]
+            scal_out = _scal_slab(mean_list[i - 1], istd_list[i - 1],
+                                  gp.astype(jnp.float32),
+                                  bp.astype(jnp.float32))
+            sp = s_list[i - 1]
+        else:
+            scal_out = None
+            sp = x_g
+        dzp, dw, db_ps, psp = cbg_block_bwd(
+            dz, s_list[i], sp, wm, scal_in, scal_out, b, h, w)
+        db = jnp.sum(db_ps, axis=0)[0]
+        grads[i] = (dw.astype(wm.dtype), db[None, :].astype(bi.dtype),
+                    d_gamma.astype(ga.dtype), d_beta.astype(be.dtype))
+        if i > 0:
+            tot = jnp.sum(psp, axis=0)
+            sum_dz, sum_dzz = tot[0], tot[1]
+        dz = dzp
+    return dz, tuple(grads)
+
+
+cbg_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+# --------------------------------------------------------------- utilities
+def guard_pad(x_flat: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
+    """Add one T·W-row zero guard block on each end of a flat [B·H·W, C]."""
+    g = T_ROWS * w
+    return jnp.pad(x_flat, ((g, g), (0, 0)))
+
+
+def guard_slice(x_g: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
+    g = T_ROWS * w
+    return x_g[g:g + b * h * w]
+
+
+def use_fused_cbg() -> bool:
+    """DEFLOW_FUSED_CBG=1 on TPU routes the UNet's plain-3x3 train-mode
+    stages through the fused Pallas chain (experimental)."""
+    import os
+
+    if os.environ.get("DEFLOW_FUSED_CBG", "0") != "1":
+        return False
+    from deflow_tpu.ops.voxel import _use_pallas
+
+    return _use_pallas()

@@ -48,8 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK_Q = 256    # sorted queries per grid step
-CHUNK_C = 256    # candidate rows per DMA block (8 × 256 f32 = 8 KB)
+import os
+
+# Swept on v5e (BENCH_LOSS=seflowLoss): (256, 256) is the shipped default.
+# Env knobs exist for sweeps only — the caller's slab/window layout adapts.
+CHUNK_Q = int(os.environ.get("DEFLOW_SWEEP_CHUNK_Q", 256))  # queries/grid step
+CHUNK_C = int(os.environ.get("DEFLOW_SWEEP_CHUNK_C", 256))  # cand rows/DMA
 _BIG = 3.0e38
 
 # candidate slab lane order (coordinate-major planes)

@@ -505,25 +505,26 @@ class FastFlow3DUNet(nn.Module):
             64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
             s2d_input=self.s2d, name="encoder_step_1")
         fold = _fold_enc()
-        fused = use_fused_cbg()
-        if fused:
-            cbg = lambda cin, c, name: CBGBlock(
-                cin, c, dtype=self.dtype, name=name)
-            cwn_f = lambda c, k, s, p, name: cbg(c, c, name)
-            cwn3 = cwn_f
+        fused = use_fused_cbg()   # per-stage-group tags {256,128,64}
+        cbg = lambda c, name: CBGBlock(c, c, dtype=self.dtype, name=name)
+        if "256" in fused:
+            cwn_f = lambda c, k, s, p, name: cbg(c, name)
         else:
             cwn_f = lambda c, k, s, p, name: CWN(
                 c, k, s, p, dtype=self.dtype, folded_3x3=fold, name=name)
-            cwn3 = cwn
+        cwn_128 = ((lambda c, k, s, p, name: cbg(c, name))
+                   if "128" in fused else cwn)
+        cwn_64 = ((lambda c, k, s, p, name: cbg(c, name))
+                  if "64" in fused else cwn)
         self.encoder_step_2 = cwn_f(64, 3, 1, 1, "encoder_step_2")
         self.encoder_step_3 = cwn_f(64, 3, 1, 1, "encoder_step_3")
         self.encoder_step_4 = cwn_f(64, 3, 1, 1, "encoder_step_4")
         self.encoder_step_5 = cwn(128, 8, 2, 3, "encoder_step_5")
-        self.encoder_step_6 = cwn3(128, 3, 1, 1, "encoder_step_6")
-        self.encoder_step_7 = cwn3(128, 3, 1, 1, "encoder_step_7")
-        self.encoder_step_8 = cwn3(128, 3, 1, 1, "encoder_step_8")
+        self.encoder_step_6 = cwn_128(128, 3, 1, 1, "encoder_step_6")
+        self.encoder_step_7 = cwn_128(128, 3, 1, 1, "encoder_step_7")
+        self.encoder_step_8 = cwn_128(128, 3, 1, 1, "encoder_step_8")
         self.encoder_step_9 = cwn(256, 8, 2, 3, "encoder_step_9")
-        self.encoder_step_10 = cwn3(256, 3, 1, 1, "encoder_step_10")
+        self.encoder_step_10 = cwn_64(256, 3, 1, 1, "encoder_step_10")
 
         self.decoder_step1 = UpsampleSkip(512, 256, dtype=self.dtype, name="decoder_step1")
         self.decoder_step2 = UpsampleSkip(256, 128, dtype=self.dtype, name="decoder_step2")

@@ -66,6 +66,35 @@ def _gelu_grad_f32(x):
     return cdf + x * phi
 
 
+# Mosaic TC has no erf lowering — in-kernel Φ(x) uses Abramowitz-Stegun
+# 7.1.26 in its erfc form (t·exp(−z²)·poly(t)), evaluated on |z| so neither
+# tail suffers 1+erf cancellation.  Abs err ≤ 7.5e-8 on Φ — three orders
+# below the bf16 activation rounding the chain feeds downstream (and inside
+# every exactness-test tolerance, which are ≥1e-4 in f32).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _phi_k(x):
+    z = jnp.abs(x) * _SQRT1_2
+    t = 1.0 / (1.0 + _AS_P * z)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    erfc_half = 0.5 * poly * jnp.exp(-z * z)       # ½·erfc(|x|/√2)
+    return jnp.where(x >= 0, 1.0 - erfc_half, erfc_half)
+
+
+def _gelu_k(x):
+    """In-kernel exact-form GELU (A&S Φ — see note above)."""
+    return x * _phi_k(x)
+
+
+def _gelu_grad_k(x):
+    """In-kernel d/dx gelu(x) = Φ(x) + x·φ(x)."""
+    phi = jnp.exp(x * x * -0.5) * _SQRT1_2PI
+    return _phi_k(x) + x * phi
+
+
 # per-block scalar slab lanes (f32 [N_SCAL, C])
 _S_MEAN, _S_ISTD, _S_GAMMA, _S_BETA, _S_A, _S_B = range(6)
 N_SCAL = 6
@@ -80,6 +109,19 @@ def _guarded_rows(n_steps: int, t: int, w: int) -> int:
     return (n_steps + 2) * t * w
 
 
+def _lane_pad(c: int) -> int:
+    """Physical lane width of a [*, c] chain buffer.
+
+    Mosaic's memref_slice cannot take a dynamic-offset DMA whose minor dim
+    is smaller than the source's tile-padded minor (measured failure:
+    slicing [10,256,64] out of a [2064,256,128] bf16 HBM memref).  Since
+    XLA tile-pads the minor to 128 lanes PHYSICALLY anyway, chain buffers
+    carry the padding logically (zero upper lanes): identical HBM traffic,
+    and the extra contraction lanes ride the same 128-deep MXU pass.
+    """
+    return -(-c // 128) * 128
+
+
 def _win_masks(u, jj, last, t, w):
     """Zero the halo rows that fall outside the current image."""
     rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
@@ -88,18 +130,21 @@ def _win_masks(u, jj, last, t, w):
     return u
 
 
-def _tap_bufs(u, w):
+def _tap_bufs(u, w, dtype):
     """(left, center, right) kx-tap views of a flat window via sublane roll.
 
     left[f] = u[f-1] (the x-1 neighbor), right[f] = u[f+1]; the wrapped
     column (crossing a spatial row) is zero — conv's implicit x-padding.
+    ``u`` must be f32 (Mosaic's tpu.dynamic_rotate only handles 32-bit
+    data); taps are cast to the matmul compute ``dtype`` on the way out —
+    identical values to casting before the roll.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
     left = pltpu.roll(u, 1, 0)
     left = jnp.where(jax.lax.rem(rows, w) == 0, 0, left)
     right = pltpu.roll(u, u.shape[0] - 1, 0)   # ≡ roll by −1
     right = jnp.where(jax.lax.rem(rows, w) == w - 1, 0, right)
-    return (left, u, right)
+    return (left.astype(dtype), u.astype(dtype), right.astype(dtype))
 
 
 # ------------------------------------------------------------------ forward
@@ -113,11 +158,13 @@ def _make_fwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
         g = pl.program_id(0)
 
         def start(slot, k):
-            bb = k // blocks
-            jj = k - bb * blocks
-            off = (bb * h + jj * t + t - 1) * w   # guard-padded row offset
+            # x_hbm is the guarded buffer viewed [(n_steps+2)·t, w, C]: one
+            # spatial row per major slot, so the (t+2)-row halo window is a
+            # dynamic-start static-size slice of the UNTILED major dim (the
+            # only dynamic HBM slicing Mosaic accepts on tiled bf16 refs).
+            j = (k + 1) * t - 1
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(off, hw)], xbuf.at[slot],
+                x_hbm.at[pl.ds(j, t + 2)], xbuf.at[slot],
                 sems.at[slot]).start()
 
         @pl.when((g + 1 >= 1) & (g + 1 <= n_steps))
@@ -131,16 +178,16 @@ def _make_fwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
             k = g - 1
             jj = jax.lax.rem(k, blocks)
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, hw)], xbuf.at[g % 2],
+                x_hbm.at[pl.ds(0, t + 2)], xbuf.at[g % 2],
                 sems.at[g % 2]).wait()
 
-            x = xbuf[g % 2]
+            x = xbuf[g % 2].reshape(hw, xbuf.shape[-1])
             if has_prev:
-                u = _gelu_f32(_bn_apply(x.astype(jnp.float32), scal_ref[...]))
+                u = _gelu_k(_bn_apply(x.astype(jnp.float32), scal_ref[...]))
             else:
                 u = x.astype(jnp.float32)
-            u = _win_masks(u, jj, last, t, w).astype(x_hbm.dtype)
-            taps = _tap_bufs(u, w)
+            u = _win_masks(u, jj, last, t, w)
+            taps = _tap_bufs(u, w, x_hbm.dtype)
 
             o = wmat_ref.shape[-1]
             acc = jnp.zeros((t * w, o), jnp.float32)
@@ -182,6 +229,7 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
     n_steps = b * blocks
     c = x_g.shape[1]
     o = wmat.shape[-1]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)   # see _lane_pad
     assert x_g.shape[0] == _guarded_rows(n_steps, t, w), x_g.shape
     has_prev = scal is not None
     if scal is None:
@@ -194,7 +242,7 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),     # [(n+2)·t, w, C]
                 pl.BlockSpec((3, 3, c, o), lambda g: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, o), lambda g: (0, 0),
@@ -209,7 +257,7 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, (t + 2) * w, c), x_g.dtype),
+                pltpu.VMEM((2, t + 2, w, c), x_g.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -219,7 +267,7 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x_g, wmat, bias, scal)
+    )(x_g.reshape((n_steps + 2) * t, w, c), wmat, bias, scal)
     return s, ps
 
 
@@ -234,14 +282,12 @@ def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
         g = pl.program_id(0)
 
         def start(slot, k):
-            bb = k // blocks
-            jj = k - bb * blocks
-            off = (bb * h + jj * t + t - 1) * w
-            pltpu.make_async_copy(dz_hbm.at[pl.ds(off, hw)],
+            j = (k + 1) * t - 1           # major-slot (w-row) halo offset
+            pltpu.make_async_copy(dz_hbm.at[pl.ds(j, t + 2)],
                                   dzbuf.at[slot], sems.at[slot, 0]).start()
-            pltpu.make_async_copy(si_hbm.at[pl.ds(off, hw)],
+            pltpu.make_async_copy(si_hbm.at[pl.ds(j, t + 2)],
                                   sibuf.at[slot], sems.at[slot, 1]).start()
-            pltpu.make_async_copy(sp_hbm.at[pl.ds(off, hw)],
+            pltpu.make_async_copy(sp_hbm.at[pl.ds(j, t + 2)],
                                   spbuf.at[slot], sems.at[slot, 2]).start()
 
         @pl.when((g + 1 >= 1) & (g + 1 <= n_steps))
@@ -259,34 +305,37 @@ def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
             k = g - 1
             jj = jax.lax.rem(k, blocks)
             s = g % 2
-            pltpu.make_async_copy(dz_hbm.at[pl.ds(0, hw)], dzbuf.at[s],
+            pltpu.make_async_copy(dz_hbm.at[pl.ds(0, t + 2)], dzbuf.at[s],
                                   sems.at[s, 0]).wait()
-            pltpu.make_async_copy(si_hbm.at[pl.ds(0, hw)], sibuf.at[s],
+            pltpu.make_async_copy(si_hbm.at[pl.ds(0, t + 2)], sibuf.at[s],
                                   sems.at[s, 1]).wait()
-            pltpu.make_async_copy(sp_hbm.at[pl.ds(0, hw)], spbuf.at[s],
+            pltpu.make_async_copy(sp_hbm.at[pl.ds(0, t + 2)], spbuf.at[s],
                                   sems.at[s, 2]).wait()
 
+            o = dzbuf.shape[-1]
             scal_in = scal_in_ref[...]
-            dz = dzbuf[s].astype(jnp.float32)
-            zi_hat = ((sibuf[s].astype(jnp.float32) - scal_in[_S_MEAN])
-                      * scal_in[_S_ISTD])
+            dz = dzbuf[s].reshape(hw, o).astype(jnp.float32)
+            zi_hat = ((sibuf[s].reshape(hw, o).astype(jnp.float32)
+                       - scal_in[_S_MEAN]) * scal_in[_S_ISTD])
             ds = (scal_in[_S_GAMMA] * scal_in[_S_ISTD]
                   * (dz - scal_in[_S_A] - zi_hat * scal_in[_S_B]))
-            ds = _win_masks(ds, jj, last, t, w).astype(out_dtype)
-            ds_taps = _tap_bufs(ds, w)
+            ds = _win_masks(ds, jj, last, t, w)
+            ds_taps = _tap_bufs(ds, w, out_dtype)
 
+            cc = spbuf.shape[-1]
+            sp = spbuf[s].reshape(hw, cc).astype(jnp.float32)
             if has_prev:
                 scal_out = scal_out_ref[...]
-                zp = _bn_apply(spbuf[s].astype(jnp.float32), scal_out)
-                x = _gelu_f32(zp)
+                zp = _bn_apply(sp, scal_out)
+                x = _gelu_k(zp)
             else:
-                zp = spbuf[s].astype(jnp.float32)
+                zp = sp
                 x = zp
-            x = _win_masks(x, jj, last, t, w).astype(out_dtype)
-            x_taps = _tap_bufs(x, w)
+            x = _win_masks(x, jj, last, t, w)
+            x_taps = _tap_bufs(x, w, out_dtype)
 
             c = dzp_ref.shape[-1]
-            ds_c = ds[w:(t + 1) * w]
+            ds_c = ds_taps[1][w:(t + 1) * w]
             dx = jnp.zeros((t * w, c), jnp.float32)
             for ky in range(3):
                 for kx in range(3):
@@ -307,8 +356,8 @@ def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
 
             if has_prev:
                 zp_c = zp[w:(t + 1) * w]
-                dzp = dx * _gelu_grad_f32(zp_c)
-                zp_hat_c = ((spbuf[s].astype(jnp.float32)[w:(t + 1) * w]
+                dzp = dx * _gelu_grad_k(zp_c)
+                zp_hat_c = ((sp[w:(t + 1) * w]
                              - scal_out[_S_MEAN]) * scal_out[_S_ISTD])
                 psp_ref[0, 0] = jnp.sum(dzp, axis=0)
                 psp_ref[0, 1] = jnp.sum(dzp * zp_hat_c, axis=0)
@@ -344,6 +393,7 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
     n_steps = b * blocks
     c = sp_g.shape[1]
     o = dz_g.shape[1]
+    assert c % 128 == 0 and o % 128 == 0, (c, o)   # see _lane_pad
     has_prev = scal_out is not None
     if scal_out is None:
         scal_out = jnp.zeros((N_SCAL, c), jnp.float32)
@@ -376,9 +426,9 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, (t + 2) * w, o), dz_g.dtype),
-                pltpu.VMEM((2, (t + 2) * w, o), si_g.dtype),
-                pltpu.VMEM((2, (t + 2) * w, c), sp_g.dtype),
+                pltpu.VMEM((2, t + 2, w, o), dz_g.dtype),
+                pltpu.VMEM((2, t + 2, w, o), si_g.dtype),
+                pltpu.VMEM((2, t + 2, w, c), sp_g.dtype),
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
         ),
@@ -391,16 +441,35 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(dz_g, si_g, sp_g, wmat, scal_in, scal_out)
+    )(dz_g.reshape((n_steps + 2) * t, w, o),
+      si_g.reshape((n_steps + 2) * t, w, o),
+      sp_g.reshape((n_steps + 2) * t, w, c),
+      wmat, scal_in, scal_out)
     return dzp, dw, db, psp
 
 
 # ------------------------------------------------------------- chain (VJP)
-def _scal_slab(mean, istd, gamma, beta, a=None, b=None):
+def _scal_slab(mean, istd, gamma, beta, a=None, b=None, cp=None):
+    """[N_SCAL, cp] f32 BN-scalar slab, zero-padded to the physical lanes
+    (zero γ/istd make every padded-lane chain quantity identically zero)."""
     c = mean.shape[0]
     z = jnp.zeros((c,), jnp.float32)
-    return jnp.stack([mean, istd, gamma, beta,
+    slab = jnp.stack([mean, istd, gamma, beta,
                       z if a is None else a, z if b is None else b])
+    cp = cp or _lane_pad(c)
+    if cp != c:
+        slab = jnp.pad(slab, ((0, 0), (0, cp - c)))
+    return slab
+
+
+def _pad_wb(wm, bi):
+    """Zero-pad conv weight [3,3,c,o] / bias [1,o] to physical lanes."""
+    c, o = wm.shape[2], wm.shape[3]
+    cp, op = _lane_pad(c), _lane_pad(o)
+    if (cp, op) != (c, o):
+        wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
+        bi = jnp.pad(bi, ((0, 0), (0, op - o)))
+    return wm, bi
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -421,11 +490,17 @@ def cbg_chain(dims: Tuple[int, int, int, float], x_g, params):
 def _chain_fwd_impl(dims, x_g, params):
     b, h, w, eps = dims
     n = b * h * w
+    c0 = x_g.shape[1]
+    if _lane_pad(c0) != c0:
+        x_g = jnp.pad(x_g, ((0, 0), (0, _lane_pad(c0) - c0)))
     s_prev, scal = x_g, None
     s_list, stat_list = [], []
+    o = c0
     for (wm, bi, ga, be) in params:
-        s, ps = cbg_block_fwd(s_prev, wm, bi, scal, b, h, w)
-        tot = jnp.sum(ps, axis=0)                   # [2, O] f32
+        o = wm.shape[-1]
+        wm_p, bi_p = _pad_wb(wm, bi)
+        s, ps = cbg_block_fwd(s_prev, wm_p, bi_p, scal, b, h, w)
+        tot = jnp.sum(ps, axis=0)[:, :o]            # [2, O] f32 (logical)
         mean = tot[0] / n
         var = tot[1] / n - mean * mean
         istd = jax.lax.rsqrt(var + eps)
@@ -434,8 +509,8 @@ def _chain_fwd_impl(dims, x_g, params):
         stat_list.append((mean, var, istd))
         s_prev = s
     # tail activation (one fused elementwise pass; guard rows junk-finite)
-    y = _gelu_f32(_bn_apply(s_list[-1].astype(jnp.float32), scal)).astype(
-        x_g.dtype)
+    y = _gelu_f32(_bn_apply(s_list[-1].astype(jnp.float32),
+                            scal))[:, :o].astype(x_g.dtype)
     means = tuple(m for m, _, _ in stat_list)
     variances = tuple(v for _, v, _ in stat_list)
     return (y, means, variances), (x_g, tuple(s_list),
@@ -455,20 +530,27 @@ def _chain_bwd(dims, res_all, cts):
     n = b * h * w
     nb = len(params)
 
-    # E0: top-of-chain dz = dy ⊙ gelu'(z_last)  (+ its stat sums)
+    # E0: top-of-chain dz = dy ⊙ gelu'(z_last)  (+ its stat sums).  All
+    # [rows, ·] arrays run at _lane_pad physical width; slab padding keeps
+    # every padded-lane quantity identically zero, so per-channel sums are
+    # sliced back to logical width where they feed gradients/slabs.
     wm, bi, ga, be = params[-1]
+    o_last = wm.shape[-1]
     scal_top = _scal_slab(mean_list[-1], istd_list[-1], ga, be)
-    z_top = _bn_apply(s_list[-1].astype(jnp.float32), scal_top)
+    s_top = s_list[-1].astype(jnp.float32)
+    z_top = _bn_apply(s_top, scal_top)
+    if _lane_pad(o_last) != o_last:
+        dy = jnp.pad(dy, ((0, 0), (0, _lane_pad(o_last) - o_last)))
     dz = (dy.astype(jnp.float32) * _gelu_grad_f32(z_top))
-    z_hat = ((s_list[-1].astype(jnp.float32) - mean_list[-1])
-             * istd_list[-1])
-    sum_dz = jnp.sum(dz, axis=0)
-    sum_dzz = jnp.sum(dz * z_hat, axis=0)
+    z_hat = (s_top - scal_top[_S_MEAN]) * scal_top[_S_ISTD]
+    sum_dz = jnp.sum(dz, axis=0)[:o_last]
+    sum_dzz = jnp.sum(dz * z_hat, axis=0)[:o_last]
     dz = dz.astype(dy.dtype)
 
     grads = [None] * nb
     for i in range(nb - 1, -1, -1):
         wm, bi, ga, be = params[i]
+        ci, oi = wm.shape[2], wm.shape[3]
         a_vec = sum_dz / n
         b_vec = sum_dzz / n
         d_gamma = sum_dzz                  # Σ dz·ẑ
@@ -485,15 +567,20 @@ def _chain_bwd(dims, res_all, cts):
         else:
             scal_out = None
             sp = x_g
+        wm_p, _ = _pad_wb(wm, bi)
         dzp, dw, db_ps, psp = cbg_block_bwd(
-            dz, s_list[i], sp, wm, scal_in, scal_out, b, h, w)
-        db = jnp.sum(db_ps, axis=0)[0]
-        grads[i] = (dw.astype(wm.dtype), db[None, :].astype(bi.dtype),
+            dz, s_list[i], sp, wm_p, scal_in, scal_out, b, h, w)
+        db = jnp.sum(db_ps, axis=0)[0][:oi]
+        grads[i] = (dw[:, :, :ci, :oi].astype(wm.dtype),
+                    db[None, :].astype(bi.dtype),
                     d_gamma.astype(ga.dtype), d_beta.astype(be.dtype))
         if i > 0:
-            tot = jnp.sum(psp, axis=0)
+            tot = jnp.sum(psp, axis=0)[:, :ci]
             sum_dz, sum_dzz = tot[0], tot[1]
         dz = dzp
+    c0 = params[0][0].shape[2]
+    if _lane_pad(c0) != c0:
+        dz = dz[:, :c0]
     return dz, tuple(grads)
 
 
@@ -512,13 +599,23 @@ def guard_slice(x_g: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
     return x_g[g:g + b * h * w]
 
 
-def use_fused_cbg() -> bool:
-    """DEFLOW_FUSED_CBG=1 on TPU routes the UNet's plain-3x3 train-mode
-    stages through the fused Pallas chain (experimental)."""
+def use_fused_cbg() -> frozenset:
+    """Stage groups (by grid-size tag) routed through the fused chain.
+
+    DEFLOW_FUSED_CBG on TPU: ``0``/unset = off, ``1``/``all`` = every
+    plain-3x3 run, or a comma list of {256,128,64} stage-group tags
+    (microbench @2B=8 on v5e: the 256² group wins ~5 ms fwd+bwd, the
+    128² group loses ~1.2 ms — XLA's full-lane C=128 lowering is already
+    good there)."""
     import os
 
-    if os.environ.get("DEFLOW_FUSED_CBG", "0") != "1":
-        return False
+    v = os.environ.get("DEFLOW_FUSED_CBG", "0").strip()
+    if v in ("0", ""):
+        return frozenset()
     from deflow_tpu.ops.voxel import _use_pallas
 
-    return _use_pallas()
+    if not _use_pallas():
+        return frozenset()
+    if v in ("1", "all"):
+        return frozenset({"256", "128", "64"})
+    return frozenset(x.strip() for x in v.split(","))

@@ -189,7 +189,12 @@ def _make_fwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
             u = _win_masks(u, jj, last, t, w)
             taps = _tap_bufs(u, w, x_hbm.dtype)
 
+            # acc runs at LOGICAL o lanes: MXU pass count scales with the
+            # OUTPUT width (padding the contraction dim rides the same
+            # 128-deep pass for free; padded output columns double it —
+            # measured 34.7 vs 35.3 pairs/s in-step before this split)
             o = wmat_ref.shape[-1]
+            op = s_ref.shape[-1]
             acc = jnp.zeros((t * w, o), jnp.float32)
             for ky in range(3):
                 for kx in range(3):
@@ -200,7 +205,11 @@ def _make_fwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
                         preferred_element_type=jnp.float32)
             acc = acc + bias_ref[...].astype(jnp.float32)
             sbf = acc.astype(out_dtype)
-            s_ref[...] = sbf
+            if op != o:          # physical lane pad for the next block's DMA
+                s_ref[...] = jnp.concatenate(
+                    [sbf, jnp.zeros((t * w, op - o), out_dtype)], axis=1)
+            else:
+                s_ref[...] = sbf
             sf = sbf.astype(jnp.float32)
             ps_ref[0, 0] = jnp.sum(sf, axis=0)
             ps_ref[0, 1] = jnp.sum(sf * sf, axis=0)
@@ -227,9 +236,10 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
     assert h % t == 0 and w % 8 == 0, (h, w)
     blocks = h // t
     n_steps = b * blocks
-    c = x_g.shape[1]
-    o = wmat.shape[-1]
-    assert c % 128 == 0 and o % 128 == 0, (c, o)   # see _lane_pad
+    c = x_g.shape[1]               # physical (lane-padded) input width
+    o = wmat.shape[-1]             # logical output width
+    op = _lane_pad(o)
+    assert c % 128 == 0 and wmat.shape[2] == c, (c, wmat.shape)
     assert x_g.shape[0] == _guarded_rows(n_steps, t, w), x_g.shape
     has_prev = scal is not None
     if scal is None:
@@ -251,7 +261,7 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((t * w, o), lambda g: (g, 0),
+                pl.BlockSpec((t * w, op), lambda g: (g, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2, o), lambda g: (g, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -262,7 +272,8 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((_guarded_rows(n_steps, t, w), o), x_g.dtype),
+            jax.ShapeDtypeStruct((_guarded_rows(n_steps, t, w), op),
+                                 x_g.dtype),
             jax.ShapeDtypeStruct((n_steps + 2, 2, o), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -312,18 +323,23 @@ def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
             pltpu.make_async_copy(sp_hbm.at[pl.ds(0, t + 2)], spbuf.at[s],
                                   sems.at[s, 2]).wait()
 
-            o = dzbuf.shape[-1]
+            # compute at LOGICAL lane widths (wmat_ref is fully logical):
+            # the physical lane padding of the DMA'd buffers is sliced off
+            # on load, and re-added only on the dzp chain write — MXU pass
+            # count scales with output width (see the forward kernel note)
+            c = wmat_ref.shape[2]
+            o = wmat_ref.shape[3]
+            op, cp = dzbuf.shape[-1], spbuf.shape[-1]
             scal_in = scal_in_ref[...]
-            dz = dzbuf[s].reshape(hw, o).astype(jnp.float32)
-            zi_hat = ((sibuf[s].reshape(hw, o).astype(jnp.float32)
+            dz = dzbuf[s].reshape(hw, op)[:, :o].astype(jnp.float32)
+            zi_hat = ((sibuf[s].reshape(hw, op)[:, :o].astype(jnp.float32)
                        - scal_in[_S_MEAN]) * scal_in[_S_ISTD])
             ds = (scal_in[_S_GAMMA] * scal_in[_S_ISTD]
                   * (dz - scal_in[_S_A] - zi_hat * scal_in[_S_B]))
             ds = _win_masks(ds, jj, last, t, w)
             ds_taps = _tap_bufs(ds, w, out_dtype)
 
-            cc = spbuf.shape[-1]
-            sp = spbuf[s].reshape(hw, cc).astype(jnp.float32)
+            sp = spbuf[s].reshape(hw, cp)[:, :c].astype(jnp.float32)
             if has_prev:
                 scal_out = scal_out_ref[...]
                 zp = _bn_apply(sp, scal_out)
@@ -334,7 +350,6 @@ def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
             x = _win_masks(x, jj, last, t, w)
             x_taps = _tap_bufs(x, w, out_dtype)
 
-            c = dzp_ref.shape[-1]
             ds_c = ds_taps[1][w:(t + 1) * w]
             dx = jnp.zeros((t * w, c), jnp.float32)
             for ky in range(3):
@@ -361,10 +376,15 @@ def _make_bwd_kernel(h: int, w: int, t: int, blocks: int, n_steps: int,
                              - scal_out[_S_MEAN]) * scal_out[_S_ISTD])
                 psp_ref[0, 0] = jnp.sum(dzp, axis=0)
                 psp_ref[0, 1] = jnp.sum(dzp * zp_hat_c, axis=0)
-                dzp_ref[...] = dzp.astype(out_dtype)
             else:
                 psp_ref[...] = jnp.zeros_like(psp_ref)
-                dzp_ref[...] = dx.astype(out_dtype)
+                dzp = dx
+            dzb = dzp.astype(out_dtype)
+            if dzp_ref.shape[-1] != c:   # physical lane pad for the chain DMA
+                dzb = jnp.concatenate(
+                    [dzb, jnp.zeros((t * w, dzp_ref.shape[-1] - c),
+                                    out_dtype)], axis=1)
+            dzp_ref[...] = dzb
 
         @pl.when(jnp.logical_not(interior))
         def _():
@@ -380,20 +400,25 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
                   scal_out: Optional[jnp.ndarray], b: int, h: int, w: int):
     """One fused block backward on guard-padded flat buffers.
 
-    dz_g: [(steps+2)·T·W, O] — dL/ds_i pre-BN-correction (dz_i = dy⊙gelu');
-    si_g: s_i (this block's pre-BN output, saved by forward);
-    sp_g: s_{i-1} (previous block's pre-BN output / chain input);
-    scal_in:  [N_SCAL, O] — block i's BN scalars + A/B mean-correction;
-    scal_out: [N_SCAL, C] — block i-1's BN scalars (None at chain head).
-    Returns (dz_prev [(steps+2)·T·W, C], dW [3,3,C,O] f32,
-             db_partials [steps+2, 1, O] f32, ps_prev [steps+2, 2, C] f32).
+    dz_g: [(steps+2)·T·W, _lane_pad(O)] — dL/ds_i pre-BN-correction
+          (dz_i = dy⊙gelu'), physical chain width;
+    si_g: s_i (this block's pre-BN output, saved by forward; physical O);
+    sp_g: s_{i-1} (previous block's output / chain input; physical C);
+    wmat: [3, 3, C, O] fully LOGICAL (see the kernel's lane-width note);
+    scal_in:  [N_SCAL, O] logical — block i's BN scalars + A/B correction;
+    scal_out: [N_SCAL, C] logical — block i-1's scalars (None at chain head).
+    Returns (dz_prev [(steps+2)·T·W, _lane_pad(C)] physical,
+             dW [3,3,C,O] f32, db_partials [steps+2, 1, O] f32,
+             ps_prev [steps+2, 2, C] f32 — all logical widths).
     """
     t = T_ROWS
     blocks = h // t
     n_steps = b * blocks
-    c = sp_g.shape[1]
-    o = dz_g.shape[1]
-    assert c % 128 == 0 and o % 128 == 0, (c, o)   # see _lane_pad
+    c, o = wmat.shape[2], wmat.shape[3]
+    cp, op = _lane_pad(c), _lane_pad(o)
+    assert sp_g.shape[1] == cp and dz_g.shape[1] == op, (sp_g.shape,
+                                                        dz_g.shape, c, o)
+    assert si_g.shape[1] == op, si_g.shape
     has_prev = scal_out is not None
     if scal_out is None:
         scal_out = jnp.zeros((N_SCAL, c), jnp.float32)
@@ -416,7 +441,7 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((t * w, c), lambda g: (g, 0),
+                pl.BlockSpec((t * w, cp), lambda g: (g, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, 3, c, o), lambda g: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -426,14 +451,14 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, t + 2, w, o), dz_g.dtype),
-                pltpu.VMEM((2, t + 2, w, o), si_g.dtype),
-                pltpu.VMEM((2, t + 2, w, c), sp_g.dtype),
+                pltpu.VMEM((2, t + 2, w, op), dz_g.dtype),
+                pltpu.VMEM((2, t + 2, w, op), si_g.dtype),
+                pltpu.VMEM((2, t + 2, w, cp), sp_g.dtype),
                 pltpu.SemaphoreType.DMA((2, 3)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((_guarded_rows(n_steps, t, w), c),
+            jax.ShapeDtypeStruct((_guarded_rows(n_steps, t, w), cp),
                                  dz_g.dtype),
             jax.ShapeDtypeStruct((3, 3, c, o), jnp.float32),
             jax.ShapeDtypeStruct((n_steps + 2, 1, o), jnp.float32),
@@ -441,9 +466,9 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(dz_g.reshape((n_steps + 2) * t, w, o),
-      si_g.reshape((n_steps + 2) * t, w, o),
-      sp_g.reshape((n_steps + 2) * t, w, c),
+    )(dz_g.reshape((n_steps + 2) * t, w, op),
+      si_g.reshape((n_steps + 2) * t, w, op),
+      sp_g.reshape((n_steps + 2) * t, w, cp),
       wmat, scal_in, scal_out)
     return dzp, dw, db, psp
 
@@ -462,14 +487,15 @@ def _scal_slab(mean, istd, gamma, beta, a=None, b=None, cp=None):
     return slab
 
 
-def _pad_wb(wm, bi):
-    """Zero-pad conv weight [3,3,c,o] / bias [1,o] to physical lanes."""
-    c, o = wm.shape[2], wm.shape[3]
-    cp, op = _lane_pad(c), _lane_pad(o)
-    if (cp, op) != (c, o):
-        wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - c), (0, op - o)))
-        bi = jnp.pad(bi, ((0, 0), (0, op - o)))
-    return wm, bi
+def _pad_w_in(wm):
+    """Zero-pad conv weight [3,3,c,o] INPUT channels to the physical chain
+    lanes; the output dim stays logical (MXU pass count scales with output
+    width — padded contraction lanes ride the same 128-deep pass free)."""
+    c = wm.shape[2]
+    cp = _lane_pad(c)
+    if cp != c:
+        wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - c), (0, 0)))
+    return wm
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -498,9 +524,8 @@ def _chain_fwd_impl(dims, x_g, params):
     o = c0
     for (wm, bi, ga, be) in params:
         o = wm.shape[-1]
-        wm_p, bi_p = _pad_wb(wm, bi)
-        s, ps = cbg_block_fwd(s_prev, wm_p, bi_p, scal, b, h, w)
-        tot = jnp.sum(ps, axis=0)[:, :o]            # [2, O] f32 (logical)
+        s, ps = cbg_block_fwd(s_prev, _pad_w_in(wm), bi, scal, b, h, w)
+        tot = jnp.sum(ps, axis=0)                   # [2, O] f32 (logical)
         mean = tot[0] / n
         var = tot[1] / n - mean * mean
         istd = jax.lax.rsqrt(var + eps)
@@ -555,27 +580,28 @@ def _chain_bwd(dims, res_all, cts):
         b_vec = sum_dzz / n
         d_gamma = sum_dzz                  # Σ dz·ẑ
         d_beta = sum_dz
+        # slabs feeding the bwd kernel are LOGICAL width (cp=c → no pad);
+        # only the chain activations stay physically padded
         scal_in = _scal_slab(mean_list[i], istd_list[i],
                              ga.astype(jnp.float32), be.astype(jnp.float32),
-                             a_vec, b_vec)
+                             a_vec, b_vec, cp=oi)
         if i > 0:
             gp, bp = params[i - 1][2], params[i - 1][3]
             scal_out = _scal_slab(mean_list[i - 1], istd_list[i - 1],
                                   gp.astype(jnp.float32),
-                                  bp.astype(jnp.float32))
+                                  bp.astype(jnp.float32), cp=ci)
             sp = s_list[i - 1]
         else:
             scal_out = None
             sp = x_g
-        wm_p, _ = _pad_wb(wm, bi)
         dzp, dw, db_ps, psp = cbg_block_bwd(
-            dz, s_list[i], sp, wm_p, scal_in, scal_out, b, h, w)
-        db = jnp.sum(db_ps, axis=0)[0][:oi]
-        grads[i] = (dw[:, :, :ci, :oi].astype(wm.dtype),
+            dz, s_list[i], sp, wm, scal_in, scal_out, b, h, w)
+        db = jnp.sum(db_ps, axis=0)[0]
+        grads[i] = (dw.astype(wm.dtype),
                     db[None, :].astype(bi.dtype),
                     d_gamma.astype(ga.dtype), d_beta.astype(be.dtype))
         if i > 0:
-            tot = jnp.sum(psp, axis=0)[:, :ci]
+            tot = jnp.sum(psp, axis=0)          # [2, C] f32 (logical)
             sum_dz, sum_dzz = tot[0], tot[1]
         dz = dzp
     c0 = params[0][0].shape[2]

@@ -67,6 +67,7 @@ class DeFlow(nn.Module):
             name="embedder",
         )
         self.backbone = FastFlow3DUNet(dtype=self.dtype, s2d=cfg.use_s2d,
+                                       stem_cin=self.feat_channels,
                                        name="backbone")
         if self.decoder_option == "gru":
             self.head = ConvGRUDecoder(

@@ -347,6 +347,57 @@ class CBGBlock(nn.Module):
         return nn.gelu(z, approximate=False)
 
 
+class StemHeadCBG(nn.Module):
+    """SpaceToDepthConv stem whose BN+GELU epilogue is deferred into the
+    following fused CBG chain in train mode (ops/pallas_cbg.cbg_chain
+    ``head_gb``): ``conv_out`` returns the pre-BN conv output; the chain
+    applies BN0+GELU0 inside its first block's load phase, deleting the
+    stem's XLA stat/f32-stash/BN-backward passes.  Variable tree is
+    identical to ConvWithNorms(space_to_depth=True) (``conv/{kernel,bias}``,
+    ``batchnorm/...``) so checkpoints interchange; ``__call__`` is the plain
+    fallback (eval mode / shape-guard failures)."""
+
+    out_channels: int
+    cin: int
+    dtype: Any = jnp.float32
+    pre_folded: bool = False
+
+    def setup(self):
+        self.conv = SpaceToDepthConv(self.out_channels, self.cin,
+                                     dtype=self.dtype,
+                                     pre_folded=self.pre_folded, name="conv")
+        self.batchnorm = _BNParams(self.out_channels, name="batchnorm")
+
+    def handles(self):
+        """(gamma, beta) f32 for cbg_chain's head_gb."""
+        return (self.batchnorm.scale.astype(jnp.float32),
+                self.batchnorm.bias.astype(jnp.float32))
+
+    def update_stats(self, mean, var):
+        if not self.is_initializing():
+            m = 0.9
+            self.batchnorm.mean.value = (
+                m * self.batchnorm.mean.value + (1 - m) * mean)
+            self.batchnorm.var.value = (
+                m * self.batchnorm.var.value + (1 - m) * var)
+
+    def conv_out(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.conv(x)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        yf = self.conv(x).astype(jnp.float32)
+        if train:
+            mu = yf.mean(axis=(0, 1, 2))
+            var = (yf * yf).mean(axis=(0, 1, 2)) - mu * mu
+            self.update_stats(mu, var)
+        else:
+            mu = self.batchnorm.mean.value
+            var = self.batchnorm.var.value
+        g, be = self.batchnorm()
+        z = (yf - mu) * jax.lax.rsqrt(var + 1e-5) * g + be
+        return nn.gelu(z, approximate=False)
+
+
 def _remat() -> str:
     """DEFLOW_REMAT rematerializes the UNet's ConvWithNorms blocks.
 
@@ -493,6 +544,7 @@ class FastFlow3DUNet(nn.Module):
 
     dtype: Any = jnp.float32
     s2d: bool = False
+    stem_cin: int = 32   # pseudoimage channels (embedder feat_channels)
 
     def setup(self):
         from deflow_tpu.ops.pallas_cbg import use_fused_cbg
@@ -501,11 +553,17 @@ class FastFlow3DUNet(nn.Module):
         cwn = lambda c, k, s, p, name: CWN(
             c, k, s, p, dtype=self.dtype, name=name
         )
-        self.encoder_step_1 = CWN(
-            64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
-            s2d_input=self.s2d, name="encoder_step_1")
-        fold = _fold_enc()
         fused = use_fused_cbg()   # per-stage-group tags {256,128,64}
+        if "256" in fused:
+            # stem epilogue deferred into the fused chain (train mode)
+            self.encoder_step_1 = StemHeadCBG(
+                64, self.stem_cin, dtype=self.dtype, pre_folded=self.s2d,
+                name="encoder_step_1")
+        else:
+            self.encoder_step_1 = CWN(
+                64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
+                s2d_input=self.s2d, name="encoder_step_1")
+        fold = _fold_enc()
         cbg = lambda c, name: CBGBlock(c, c, dtype=self.dtype, name=name)
         if "256" in fused:
             cwn_f = lambda c, k, s, p, name: cbg(c, name)
@@ -540,16 +598,22 @@ class FastFlow3DUNet(nn.Module):
                 64, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                 name="decoder_step4")
 
-    def _chain(self, mods, x: jnp.ndarray) -> jnp.ndarray:
-        """Run consecutive CBGBlock stages through the fused Pallas chain."""
+    def _chain(self, mods, x: jnp.ndarray, head=None) -> jnp.ndarray:
+        """Run consecutive CBGBlock stages through the fused Pallas chain.
+
+        ``head``: a StemHeadCBG whose BN+GELU epilogue runs inside the
+        chain's first block (``x`` is then its PRE-BN conv output)."""
         from deflow_tpu.ops import pallas_cbg as C
 
         b, h, w, c = x.shape
         params = tuple(m.handles() for m in mods)
+        head_gb = head.handles() if head is not None else ()
         x_g = C.guard_pad(x.astype(self.dtype).reshape(b * h * w, c),
                           b, h, w)
-        y_g, means, variances = C.cbg_chain((b, h, w, 1e-5), x_g, params)
-        for m, mu, var in zip(mods, means, variances):
+        y_g, means, variances = C.cbg_chain((b, h, w, 1e-5), x_g, params,
+                                            head_gb)
+        stat_mods = ([head] if head is not None else []) + list(mods)
+        for m, mu, var in zip(stat_mods, means, variances):
             m.update_stats(mu, var)
         y = C.guard_slice(y_g, b, h, w).reshape(
             b, h, w, mods[-1].out_channels)
@@ -571,6 +635,21 @@ class FastFlow3DUNet(nn.Module):
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns the three skip scales (stride 2, 4, 8 feature maps)."""
+        from deflow_tpu.ops.pallas_cbg import T_ROWS
+
+        if isinstance(self.encoder_step_1, StemHeadCBG) and train:
+            s0 = self.encoder_step_1.conv_out(x)
+            if (isinstance(self.encoder_step_2, CBGBlock)
+                    and s0.shape[1] % T_ROWS == 0 and s0.shape[2] % 8 == 0):
+                n = self._chain(
+                    [self.encoder_step_2, self.encoder_step_3,
+                     self.encoder_step_4], s0, head=self.encoder_step_1)
+                f = self.encoder_step_5(n, train)
+                r = self._stage3([self.encoder_step_6, self.encoder_step_7,
+                                  self.encoder_step_8], f, train)
+                f = self.encoder_step_9(r, train)
+                t = self._stage3([self.encoder_step_10], f, train)
+                return n, r, t
         f = self.encoder_step_1(x, train)
         if getattr(self.encoder_step_2, "folded_3x3", False):
             # steps 2-4 phase-folded: full-lane [H/4, W/4, 256] tensors

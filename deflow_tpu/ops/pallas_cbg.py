@@ -499,27 +499,52 @@ def _pad_w_in(wm):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def cbg_chain(dims: Tuple[int, int, int, float], x_g, params):
+def cbg_chain(dims: Tuple[int, int, int, float], x_g, params, head_gb=()):
     """Fused chain of conv3x3+BN(train)+GELU blocks.
 
     dims = (b, h, w, eps).  ``x_g`` is the guard-padded flat chain input.
     ``params`` is a tuple of (wmat [3,3,C,O], bias [1,O], gamma [O],
     beta [O]) per block (compute dtype for wmat/bias, f32 for γ/β).
+    ``head_gb``: () — x_g is a post-activation feature map — or
+    (gamma0 [C0], beta0 [C0]) — x_g is the PREVIOUS (non-3x3) conv's
+    PRE-BN output and its BN+GELU epilogue runs inside the first block's
+    load phase (head stats from one XLA reduce; the guard rows are zero so
+    full-array Σ/Σ² equal the valid-row sums).  Deferring the producer's
+    epilogue into the chain deletes its stat/stash/backward passes
+    (measured: the stem's convert_reduce 2.2 ms + f32-stash 1.0 ms +
+    BN-bwd 1.4 ms at 2B=8, 256², C=64).
     Returns (y_g [(steps+2)·T·W, O_last] — post-BN+GELU output of the last
-    block, guard rows garbage-but-finite; means, vars: tuples of [O] f32
-    batch stats per block for the running-stat update).
+    block, guard rows garbage-but-finite; means, vars: tuples of [·] f32
+    batch stats — head first when head_gb is set — for running-stat
+    updates).
     """
-    out, _ = _chain_fwd_impl(dims, x_g, params)
+    out, _ = _chain_fwd_impl(dims, x_g, params, head_gb)
     return out
 
 
-def _chain_fwd_impl(dims, x_g, params):
+def _chain_fwd_impl(dims, x_g, params, head_gb):
     b, h, w, eps = dims
     n = b * h * w
     c0 = x_g.shape[1]
     if _lane_pad(c0) != c0:
         x_g = jnp.pad(x_g, ((0, 0), (0, _lane_pad(c0) - c0)))
-    s_prev, scal = x_g, None
+    if head_gb:
+        ga0, be0 = head_gb
+        xf = x_g.astype(jnp.float32)
+        tot0 = jnp.sum(xf, axis=0)[:c0]
+        tot0sq = jnp.sum(xf * xf, axis=0)[:c0]
+        mean0 = tot0 / n
+        var0 = tot0sq / n - mean0 * mean0
+        istd0 = jax.lax.rsqrt(var0 + eps)
+        scal = _scal_slab(mean0, istd0, ga0.astype(jnp.float32),
+                          be0.astype(jnp.float32))
+        head_res = (mean0, istd0)
+        head_stats = [(mean0, var0)]
+    else:
+        scal = None
+        head_res = ()
+        head_stats = []
+    s_prev = x_g
     s_list, stat_list = [], []
     o = c0
     for (wm, bi, ga, be) in params:
@@ -536,20 +561,23 @@ def _chain_fwd_impl(dims, x_g, params):
     # tail activation (one fused elementwise pass; guard rows junk-finite)
     y = _gelu_f32(_bn_apply(s_list[-1].astype(jnp.float32),
                             scal))[:, :o].astype(x_g.dtype)
-    means = tuple(m for m, _, _ in stat_list)
-    variances = tuple(v for _, v, _ in stat_list)
+    means = (tuple(m for m, _ in head_stats)
+             + tuple(m for m, _, _ in stat_list))
+    variances = (tuple(v for _, v in head_stats)
+                 + tuple(v for _, v, _ in stat_list))
     return (y, means, variances), (x_g, tuple(s_list),
                                    tuple(i for _, _, i in stat_list),
-                                   tuple(m for m, _, _ in stat_list))
+                                   tuple(m for m, _, _ in stat_list),
+                                   head_res)
 
 
-def _chain_fwd(dims, x_g, params):
-    out, res = _chain_fwd_impl(dims, x_g, params)
-    return out, (res, params)
+def _chain_fwd(dims, x_g, params, head_gb):
+    out, res = _chain_fwd_impl(dims, x_g, params, head_gb)
+    return out, (res, params, head_gb)
 
 
 def _chain_bwd(dims, res_all, cts):
-    (x_g, s_list, istd_list, mean_list), params = res_all
+    (x_g, s_list, istd_list, mean_list, head_res), params, head_gb = res_all
     dy = cts[0]          # cotangents of means/vars are stop-gradient zeros
     b, h, w, eps = dims
     n = b * h * w
@@ -591,6 +619,14 @@ def _chain_bwd(dims, res_all, cts):
                                   gp.astype(jnp.float32),
                                   bp.astype(jnp.float32), cp=ci)
             sp = s_list[i - 1]
+        elif head_gb:
+            # head BN: the first block's input-side BN+GELU ran in-kernel;
+            # its backward mirrors the i>0 path (psp sums + A/B correction,
+            # the correction applied by XLA after the loop)
+            scal_out = _scal_slab(head_res[0], head_res[1],
+                                  head_gb[0].astype(jnp.float32),
+                                  head_gb[1].astype(jnp.float32), cp=ci)
+            sp = x_g
         else:
             scal_out = None
             sp = x_g
@@ -600,14 +636,30 @@ def _chain_bwd(dims, res_all, cts):
         grads[i] = (dw.astype(wm.dtype),
                     db[None, :].astype(bi.dtype),
                     d_gamma.astype(ga.dtype), d_beta.astype(be.dtype))
-        if i > 0:
+        if i > 0 or head_gb:
             tot = jnp.sum(psp, axis=0)          # [2, C] f32 (logical)
             sum_dz, sum_dzz = tot[0], tot[1]
         dz = dzp
     c0 = params[0][0].shape[2]
+    if head_gb:
+        # dz is dx·gelu'(z0) (uncorrected); apply the BN0 backward
+        # correction dL/ds0 = γ0·istd0·(dz − Σdz/n − ẑ0·Σdz·ẑ/n) here —
+        # one elementwise pass that fuses into the consumer's layout copy
+        head_grads = (sum_dzz.astype(head_gb[0].dtype),
+                      sum_dz.astype(head_gb[1].dtype))
+        slab = _scal_slab(head_res[0], head_res[1],
+                          head_gb[0].astype(jnp.float32),
+                          head_gb[1].astype(jnp.float32),
+                          sum_dz / n, sum_dzz / n)
+        z0_hat = (x_g.astype(jnp.float32) - slab[_S_MEAN]) * slab[_S_ISTD]
+        dzf = dz.astype(jnp.float32)
+        dz = (slab[_S_GAMMA] * slab[_S_ISTD]
+              * (dzf - slab[_S_A] - z0_hat * slab[_S_B])).astype(dz.dtype)
+    else:
+        head_grads = ()
     if _lane_pad(c0) != c0:
         dz = dz[:, :c0]
-    return dz, tuple(grads)
+    return dz, tuple(grads), head_grads
 
 
 cbg_chain.defvjp(_chain_fwd, _chain_bwd)

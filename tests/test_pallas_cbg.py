@@ -115,6 +115,54 @@ def test_bwd_matches_plain():
                                        rtol=1e-3, atol=2e-4)
 
 
+def test_headbn_chain_matches_plain():
+    """head_gb: the chain applies BN0+GELU0 of its pre-BN input in the first
+    block's load phase — forward, head stats, dL/dx (pre-BN cotangent with
+    the BN backward correction), and d(gamma0)/d(beta0)."""
+    from deflow_tpu.ops import pallas_cbg as C
+
+    rng = np.random.default_rng(11)
+    chans = (8, 8, 8)
+    b, h, w = 2, 16, 8
+    x = jnp.asarray(rng.normal(0, 1.3, (b, h, w, chans[0])).astype(np.float32))
+    tgt = jnp.asarray(rng.normal(0, 1, (b, h, w, chans[-1])).astype(np.float32))
+    params = _mk_params(jax.random.key(9), chans)
+    ga0 = jnp.asarray(1.0 + 0.1 * rng.normal(0, 1, chans[0]), jnp.float32)
+    be0 = jnp.asarray(0.05 * rng.normal(0, 1, chans[0]), jnp.float32)
+
+    def ref(x, params, ga0, be0):
+        xf = x
+        mu = xf.mean(axis=(0, 1, 2))
+        var = (xf * xf).mean(axis=(0, 1, 2)) - mu * mu
+        z0 = (xf - mu) * jax.lax.rsqrt(var + EPS) * ga0 + be0
+        u = jax.nn.gelu(z0, approximate=False)
+        y, mus, _ = _plain_chain(u, params)
+        return y, [mu] + mus
+
+    def fused(x, params, ga0, be0):
+        x_g = C.guard_pad(x.reshape(b * h * w, chans[0]), b, h, w)
+        y_g, mus, _ = C.cbg_chain((b, h, w, EPS), x_g, params, (ga0, be0))
+        return C.guard_slice(y_g, b, h, w).reshape(b, h, w, chans[-1]), mus
+
+    y0, mus0 = ref(x, params, ga0, be0)
+    y1, mus1 = fused(x, params, ga0, be0)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-4, atol=1e-4)
+    for m0, m1 in zip(mus0, mus1):
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=1e-5, atol=1e-5)
+
+    loss0 = lambda *a: jnp.sum((ref(*a)[0] - tgt) ** 2)
+    loss1 = lambda *a: jnp.sum((fused(*a)[0] - tgt) ** 2)
+    v0, g0 = jax.value_and_grad(loss0, argnums=(0, 1, 2, 3))(
+        x, params, ga0, be0)
+    v1, g1 = jax.value_and_grad(loss1, argnums=(0, 1, 2, 3))(
+        x, params, ga0, be0)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(c), np.asarray(a), rtol=1e-3, atol=3e-4), g0, g1)
+
+
 def test_fused_unet_matches_plain(monkeypatch):
     """DEFLOW_FUSED_CBG=1: identical variable tree (conv/batchnorm names),
     matching forward, batch-stat updates, and gradients vs the plain UNet."""

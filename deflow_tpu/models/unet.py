@@ -348,12 +348,14 @@ class CBGBlock(nn.Module):
 
 
 class StemHeadCBG(nn.Module):
-    """SpaceToDepthConv stem whose BN+GELU epilogue is deferred into the
+    """k=8/s=2/p=3 stem conv whose BN+GELU epilogue is deferred into the
     following fused CBG chain in train mode (ops/pallas_cbg.cbg_chain
     ``head_gb``): ``conv_out`` returns the pre-BN conv output; the chain
     applies BN0+GELU0 inside its first block's load phase, deleting the
-    stem's XLA stat/f32-stash/BN-backward passes.  Variable tree is
-    identical to ConvWithNorms(space_to_depth=True) (``conv/{kernel,bias}``,
+    stem's XLA stat/f32-stash/BN-backward passes.  ``s2d_stem`` picks the
+    phase-folded SpaceToDepthConv (the 512² pseudoimage stem) vs the plain
+    ``nn.Conv`` (the in-encoder downsample stems).  Variable tree is
+    identical to the ConvWithNorms it replaces (``conv/{kernel,bias}``,
     ``batchnorm/...``) so checkpoints interchange; ``__call__`` is the plain
     fallback (eval mode / shape-guard failures)."""
 
@@ -361,11 +363,18 @@ class StemHeadCBG(nn.Module):
     cin: int
     dtype: Any = jnp.float32
     pre_folded: bool = False
+    s2d_stem: bool = True
 
     def setup(self):
-        self.conv = SpaceToDepthConv(self.out_channels, self.cin,
-                                     dtype=self.dtype,
-                                     pre_folded=self.pre_folded, name="conv")
+        if self.s2d_stem:
+            self.conv = SpaceToDepthConv(self.out_channels, self.cin,
+                                         dtype=self.dtype,
+                                         pre_folded=self.pre_folded,
+                                         name="conv")
+        else:
+            self.conv = nn.Conv(self.out_channels, (8, 8), strides=(2, 2),
+                                padding=((3, 3), (3, 3)), dtype=self.dtype,
+                                name="conv")
         self.batchnorm = _BNParams(self.out_channels, name="batchnorm")
 
     def handles(self):
@@ -577,11 +586,21 @@ class FastFlow3DUNet(nn.Module):
         self.encoder_step_2 = cwn_f(64, 3, 1, 1, "encoder_step_2")
         self.encoder_step_3 = cwn_f(64, 3, 1, 1, "encoder_step_3")
         self.encoder_step_4 = cwn_f(64, 3, 1, 1, "encoder_step_4")
-        self.encoder_step_5 = cwn(128, 8, 2, 3, "encoder_step_5")
+        if "128" in fused:
+            self.encoder_step_5 = StemHeadCBG(
+                128, 64, dtype=self.dtype, s2d_stem=False,
+                name="encoder_step_5")
+        else:
+            self.encoder_step_5 = cwn(128, 8, 2, 3, "encoder_step_5")
         self.encoder_step_6 = cwn_128(128, 3, 1, 1, "encoder_step_6")
         self.encoder_step_7 = cwn_128(128, 3, 1, 1, "encoder_step_7")
         self.encoder_step_8 = cwn_128(128, 3, 1, 1, "encoder_step_8")
-        self.encoder_step_9 = cwn(256, 8, 2, 3, "encoder_step_9")
+        if "64" in fused:
+            self.encoder_step_9 = StemHeadCBG(
+                256, 128, dtype=self.dtype, s2d_stem=False,
+                name="encoder_step_9")
+        else:
+            self.encoder_step_9 = cwn(256, 8, 2, 3, "encoder_step_9")
         self.encoder_step_10 = cwn_64(256, 3, 1, 1, "encoder_step_10")
 
         self.decoder_step1 = UpsampleSkip(512, 256, dtype=self.dtype, name="decoder_step1")
@@ -631,40 +650,47 @@ class FastFlow3DUNet(nn.Module):
             f = m(f, train)
         return f
 
+    def _enc_stage(self, head_mod, mods, x: jnp.ndarray,
+                   train: bool) -> jnp.ndarray:
+        """Downsample stem + plain-3x3 group: when the stem is a deferred
+        head and the group is fused, one chain call covers stem epilogue +
+        all three blocks; otherwise the plain per-module path."""
+        from deflow_tpu.ops.pallas_cbg import T_ROWS
+
+        if (isinstance(head_mod, StemHeadCBG) and train
+                and isinstance(mods[0], CBGBlock)):
+            s = head_mod.conv_out(x)
+            if s.shape[1] % T_ROWS == 0 and s.shape[2] % 8 == 0:
+                return self._chain(mods, s, head=head_mod)
+        f = head_mod(x, train)
+        return self._stage3(mods, f, train)
+
     def _encode(
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns the three skip scales (stride 2, 4, 8 feature maps)."""
-        from deflow_tpu.ops.pallas_cbg import T_ROWS
-
-        if isinstance(self.encoder_step_1, StemHeadCBG) and train:
-            s0 = self.encoder_step_1.conv_out(x)
-            if (isinstance(self.encoder_step_2, CBGBlock)
-                    and s0.shape[1] % T_ROWS == 0 and s0.shape[2] % 8 == 0):
-                n = self._chain(
-                    [self.encoder_step_2, self.encoder_step_3,
-                     self.encoder_step_4], s0, head=self.encoder_step_1)
-                f = self.encoder_step_5(n, train)
-                r = self._stage3([self.encoder_step_6, self.encoder_step_7,
-                                  self.encoder_step_8], f, train)
-                f = self.encoder_step_9(r, train)
-                t = self._stage3([self.encoder_step_10], f, train)
-                return n, r, t
+        if not getattr(self.encoder_step_2, "folded_3x3", False):
+            n = self._enc_stage(self.encoder_step_1,
+                                [self.encoder_step_2, self.encoder_step_3,
+                                 self.encoder_step_4], x, train)
+            r = self._enc_stage(self.encoder_step_5,
+                                [self.encoder_step_6, self.encoder_step_7,
+                                 self.encoder_step_8], n, train)
+            t = self._enc_stage(self.encoder_step_9,
+                                [self.encoder_step_10], r, train)
+            return n, r, t
+        # DEFLOW_FOLD_ENC experiment: steps 2-4 phase-folded (full-lane
+        # [H/4, W/4, 256] tensors instead of half-lane C=64 maps; the
+        # fold/unfold are two copies)
         f = self.encoder_step_1(x, train)
-        if getattr(self.encoder_step_2, "folded_3x3", False):
-            # steps 2-4 phase-folded: full-lane [H/4, W/4, 256] tensors
-            # instead of half-lane C=64 maps (fold/unfold are two copies)
-            b, h, w, c = f.shape
-            ff = f.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
-                0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-            ff = self.encoder_step_2(ff, train)
-            ff = self.encoder_step_3(ff, train)
-            ff = self.encoder_step_4(ff, train)
-            n = ff.reshape(b, h // 2, w // 2, 2, 2, c).transpose(
-                0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
-        else:
-            n = self._stage3([self.encoder_step_2, self.encoder_step_3,
-                              self.encoder_step_4], f, train)  # [H/2,W/2,64]
+        b, h, w, c = f.shape
+        ff = f.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        ff = self.encoder_step_2(ff, train)
+        ff = self.encoder_step_3(ff, train)
+        ff = self.encoder_step_4(ff, train)
+        n = ff.reshape(b, h // 2, w // 2, 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
         f = self.encoder_step_5(n, train)
         r = self._stage3([self.encoder_step_6, self.encoder_step_7,
                           self.encoder_step_8], f, train)      # [H/4,W/4,128]

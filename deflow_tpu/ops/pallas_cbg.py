@@ -42,6 +42,7 @@ routes via ``use_fused_cbg()``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -49,7 +50,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_ROWS = 8          # output rows per grid step
+# Output rows per grid step.  Larger T = fewer grid steps, less per-step
+# overhead, and a smaller halo-recompute fraction ((T+2)/T), at 2·(T+2)·W·C
+# VMEM per slot buffer; must divide every routed stage's H.
+T_ROWS = int(os.environ.get("DEFLOW_CBG_T", 8))
 _SQRT1_2 = 0.7071067811865476
 _SQRT1_2PI = 0.3989422804014327
 

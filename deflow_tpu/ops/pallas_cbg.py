@@ -52,8 +52,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Output rows per grid step.  Larger T = fewer grid steps, less per-step
 # overhead, and a smaller halo-recompute fraction ((T+2)/T), at 2·(T+2)·W·C
-# VMEM per slot buffer; must divide every routed stage's H.
-T_ROWS = int(os.environ.get("DEFLOW_CBG_T", 8))
+# VMEM per slot buffer.  ``t_rows(h)`` halves it until it divides the
+# image height (shape eligibility floor stays h % 8 == 0).
+# Swept in-step on v5e @bs=4 (fused 256,128): T=8 → 35.3, T=16 → 35.43,
+# T=32 → 35.18 pairs/s.
+T_ROWS = int(os.environ.get("DEFLOW_CBG_T", 16))
+
+
+def t_rows(h: int) -> int:
+    t = T_ROWS
+    while h % t:
+        t //= 2
+    assert t >= 8, (h, T_ROWS)
+    return t
 _SQRT1_2 = 0.7071067811865476
 _SQRT1_2PI = 0.3989422804014327
 
@@ -236,8 +247,8 @@ def cbg_block_fwd(x_g: jnp.ndarray, wmat: jnp.ndarray, bias: jnp.ndarray,
     scal: [N_SCAL, C] f32 input-side BN scalars, or None (chain head).
     Returns (s [(steps+2)·T·W, O], partial_sums [steps+2, 2, O] f32).
     """
-    t = T_ROWS
-    assert h % t == 0 and w % 8 == 0, (h, w)
+    t = t_rows(h)
+    assert w % 8 == 0, (h, w)
     blocks = h // t
     n_steps = b * blocks
     c = x_g.shape[1]               # physical (lane-padded) input width
@@ -415,7 +426,7 @@ def cbg_block_bwd(dz_g: jnp.ndarray, si_g: jnp.ndarray, sp_g: jnp.ndarray,
              dW [3,3,C,O] f32, db_partials [steps+2, 1, O] f32,
              ps_prev [steps+2, 2, C] f32 — all logical widths).
     """
-    t = T_ROWS
+    t = t_rows(h)
     blocks = h // t
     n_steps = b * blocks
     c, o = wmat.shape[2], wmat.shape[3]
@@ -672,12 +683,12 @@ cbg_chain.defvjp(_chain_fwd, _chain_bwd)
 # --------------------------------------------------------------- utilities
 def guard_pad(x_flat: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
     """Add one T·W-row zero guard block on each end of a flat [B·H·W, C]."""
-    g = T_ROWS * w
+    g = t_rows(h) * w
     return jnp.pad(x_flat, ((g, g), (0, 0)))
 
 
 def guard_slice(x_g: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
-    g = T_ROWS * w
+    g = t_rows(h) * w
     return x_g[g:g + b * h * w]
 
 
@@ -685,12 +696,13 @@ def use_fused_cbg() -> frozenset:
     """Stage groups (by grid-size tag) routed through the fused chain.
 
     DEFLOW_FUSED_CBG on TPU: ``0``/unset = off, ``1``/``all`` = every
-    plain-3x3 run, or a comma list of {256,128,64} stage-group tags
-    (microbench @2B=8 on v5e: the 256² group wins ~5 ms fwd+bwd, the
-    128² group loses ~1.2 ms — XLA's full-lane C=128 lowering is already
-    good there)."""
-    import os
-
+    plain-3x3 run, or a comma list of {256,128,64} stage-group tags.
+    Measured in-step on v5e @bs=4 with the deferred-epilogue heads and
+    T=16: fused 256,128 sampled 35.13-35.43 pairs/s vs plain 35.34-35.43
+    under the same chip conditions — a WASH (XLA's own lowering of these
+    stages is already near-optimal once the epilogue-boundary copies are
+    the only delta).  Stays opt-in per the repo's measured-neutral
+    precedent; the 64² group costs a further ~0.4 ms."""
     v = os.environ.get("DEFLOW_FUSED_CBG", "0").strip()
     if v in ("0", ""):
         return frozenset()

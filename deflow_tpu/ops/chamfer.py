@@ -64,6 +64,15 @@ class NNSpec(NamedTuple):
     lo: Tuple[float, float] = (-51.2, -51.2)   # grid: XY lower bound
     hi: Tuple[float, float] = (51.2, 51.2)     # grid: XY upper bound
     chunk: int = 2048         # grid: query points per scan step
+    # SSL backward: static row budget for the DYNAMIC-term VJP work.  The
+    # f-term gathers/scatters only have support on flagged rows (~5-20% of
+    # AV2 clouds after DUFO labelling), but static shapes would otherwise
+    # run them at full N (measured 12.9 ms of descriptor-bound gather
+    # fusions in the 177 ms SSL step).  None = auto: N//3 (rounded up to
+    # 1024) when N >= 32768, else N (no compaction).  Dynamic points beyond
+    # the cap lose their f-term GRADIENT contribution only (forward loss
+    # values are never affected); cap >= the true dynamic count is exact.
+    dyn_cap: Optional[int] = None
 
 
 def _min_dist_tiled(
@@ -487,9 +496,31 @@ def _ssl_nn_fwd(pc0, pc1, mask0, mask1, flag0, flag1, spec):
     return out, (pc0, pc1, mask0, mask1, flag0, flag1, i0a, i1a, i0f, i1f)
 
 
+def _dyn_cap_for(spec: "NNSpec", n: int) -> int:
+    cap = spec.dyn_cap
+    if cap is None:
+        cap = -(-(n // 3) // 1024) * 1024 if n >= 32768 else n
+    return min(cap, n)
+
+
+def _compact_idx(flag: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """[B, N] bool → [B, cap] i32 listing flag-set row indices first (stable
+    original order); the padded tail indexes non-flag rows (whose f-term is
+    identically zero).  One packed single-lane sort — ~1 ms at 4×98304 vs
+    the ~6 ms of full-width gather fusions it deletes."""
+    b, n = flag.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    keys = jnp.where(flag, iota, iota + n)
+    return jax.lax.sort(keys, dimension=-1)[:, :cap] % n
+
+
 def _ssl_nn_bwd(spec, res, cts):
     """Matched-pair subgradients of all four distance sets (the brute
-    extension's autograd, extended to the dynamic-only terms)."""
+    extension's autograd, extended to the dynamic-only terms).
+
+    The dynamic (f) terms run COMPACTED to ``spec.dyn_cap`` rows: their
+    gathers/scatters are descriptor-bound (~cost per ROW regardless of row
+    bytes), and only flagged rows carry nonzero gradient."""
     pc0, pc1, m0, m1, f0, f1, i0a, i1a, i0f, i1f = res
     g0a, g1a, g0f, g1f = cts[:4]
 
@@ -503,11 +534,30 @@ def _ssl_nn_bwd(spec, res, cts):
     anyf0 = jnp.any(m0 & f0, axis=-1, keepdims=True)
     w0a = w_term(g0a, pc0, pc1, i0a, m0 & any1)
     w1a = w_term(g1a, pc1, pc0, i1a, m1 & any0)
-    w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
-    w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)
 
-    d_pc0 = _scatter_rows(_scatter_rows(w0a + w0f, i1a, -w1a), i1f, -w1f)
-    d_pc1 = _scatter_rows(_scatter_rows(w1a + w1f, i0a, -w0a), i0f, -w0f)
+    cap0 = _dyn_cap_for(spec, pc0.shape[1])
+    cap1 = _dyn_cap_for(spec, pc1.shape[1])
+    if cap0 < pc0.shape[1] or cap1 < pc1.shape[1]:
+        tr = lambda x, i: jnp.take_along_axis(x, i, axis=1)
+        s0 = _compact_idx(m0 & f0, cap0)
+        s1 = _compact_idx(m1 & f1, cap1)
+        w0f = w_term(tr(g0f, s0), _take_rows(pc0, s0), pc1, tr(i0f, s0),
+                     tr(m0 & f0, s0) & anyf1)
+        w1f = w_term(tr(g1f, s1), _take_rows(pc1, s1), pc0, tr(i1f, s1),
+                     tr(m1 & f1, s1) & anyf0)
+        d_pc0 = _scatter_rows(
+            _scatter_rows(w0a, i1a, -w1a),
+            jnp.concatenate([s0, tr(i1f, s1)], axis=1),
+            jnp.concatenate([w0f, -w1f], axis=1))
+        d_pc1 = _scatter_rows(
+            _scatter_rows(w1a, i0a, -w0a),
+            jnp.concatenate([s1, tr(i0f, s0)], axis=1),
+            jnp.concatenate([w1f, -w0f], axis=1))
+    else:
+        w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
+        w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)
+        d_pc0 = _scatter_rows(_scatter_rows(w0a + w0f, i1a, -w1a), i1f, -w1f)
+        d_pc1 = _scatter_rows(_scatter_rows(w1a + w1f, i0a, -w0a), i0f, -w0f)
     zeros = [jnp.zeros(x.shape, dtype=jax.dtypes.float0)
              for x in (res[2], res[3], res[4], res[5])]
     return (d_pc0, d_pc1, *zeros)

@@ -258,3 +258,30 @@ def test_grid_overflow_stats():
     np.testing.assert_allclose(float(drop), 6 / 12, rtol=1e-6)
     assert int(cmax) == 10
     assert 0 < float(cellfrac) < 1
+
+
+def test_compacted_dyn_backward_matches_full():
+    """spec.dyn_cap compacts the f-term VJP work to a static row budget;
+    gradients are exact whenever the per-sample dynamic count <= cap."""
+    from deflow_tpu.ops.chamfer import ssl_chamfer_distances
+
+    p, q, mp, mq = _clouds(seed=13, n=320, m=320)
+    rng = np.random.default_rng(13)
+    f0 = mp & (rng.random(320) < 0.25)   # ~80 dynamic rows < cap
+    f1 = mq & (rng.random(320) < 0.25)
+    args = [jnp.asarray(x) for x in (p, q, mp, mq, f0, f1)]
+    t2 = 4.0
+
+    def loss(pc0, pc1, spec):
+        d0, d1, dd0, dd1 = ssl_chamfer_distances(
+            pc0, pc1, *args[2:], truncate=2.0, spec=spec)
+        return sum(jnp.sum(jnp.minimum(d, t2)) for d in (d0, d1, dd0, dd1))
+
+    cap_spec = SPEC._replace(dyn_cap=128)
+    vf, gf = jax.value_and_grad(loss, argnums=(0, 1))(args[0], args[1], SPEC)
+    vc, gc = jax.value_and_grad(loss, argnums=(0, 1))(
+        args[0], args[1], cap_spec)
+    np.testing.assert_allclose(float(vc), float(vf), rtol=1e-6)
+    for a, c in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

@@ -110,3 +110,44 @@ def test_sharded_ssl_grid_chamfer_matches_single_device():
     np.testing.assert_allclose(float(v8), float(v1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_compacted_dyn_vjp_matches_single_device():
+    """NNSpec.dyn_cap (compacted f-term VJP) under shard_map over the data
+    axis == the unsharded value and grads — the compaction sort/gathers are
+    per-sample, so they stay chip-local."""
+    import functools
+
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from deflow_tpu.ops.chamfer import NNSpec, ssl_chamfer_distances
+
+    assert len(jax.devices()) >= 8
+    mesh = T.create_mesh(8)
+    b, n = 8, 384
+    rng = np.random.default_rng(21)
+    pc0 = jnp.asarray(rng.normal(0, 9, (b, n, 3)).astype(np.float32))
+    pc1 = jnp.asarray(rng.normal(0, 9, (b, n, 3)).astype(np.float32))
+    m0 = jnp.asarray(rng.random((b, n)) > 0.1)
+    m1 = jnp.asarray(rng.random((b, n)) > 0.1)
+    f0 = m0 & jnp.asarray(rng.random((b, n)) < 0.3)
+    f1 = m1 & jnp.asarray(rng.random((b, n)) < 0.3)
+    spec = NNSpec(method="grid", chunk=128, capacity=256, dyn_cap=192)
+    nn = functools.partial(ssl_chamfer_distances, truncate=2.0, spec=spec)
+
+    def loss(fn, p):
+        d0, d1, dd0, dd1 = fn(p, pc1, m0, m1, f0, f1)
+        return sum(jnp.sum(jnp.minimum(d, 4.0)) for d in (d0, d1, dd0, dd1))
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(nn, p))(pc0)
+
+    sharded = shard_map(nn, mesh=mesh, in_specs=(P("data"),) * 6,
+                        out_specs=(P("data"),) * 4, check_vma=False)
+    pc0_s = jax.device_put(pc0, T.batch_sharding(mesh))
+    v8, g8 = jax.jit(jax.value_and_grad(lambda p: loss(sharded, p)))(pc0_s)
+
+    np.testing.assert_allclose(float(v8), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)

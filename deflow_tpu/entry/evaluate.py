@@ -130,10 +130,11 @@ def write_submission(
 
     zip_path = os.path.join(out_dir, f"submission_v{version}.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for host_batch in loader:
-            bsz = pad_ragged_batch(host_batch, n_dev)
-            batch = T.device_batch(host_batch, mesh)
-            out = jax.device_get(eval_step(state.params, state.batch_stats, batch))
+        # One-batch software pipeline: dispatch batch k+1 (jax dispatch is
+        # async) BEFORE serializing batch k, so feather/zip CPU time
+        # overlaps the device forward instead of serializing with it.
+        def _ser(host_batch, bsz, out_dev):
+            out = jax.device_get(out_dev)
             for b in range(bsz):
                 full, pose_flow = _frame_full_flow(host_batch, out, b)
                 eval_m = host_batch["raw_eval_mask"][b]
@@ -160,6 +161,17 @@ def write_submission(
                 buf = io.BytesIO()
                 df.to_feather(buf)
                 zf.writestr(name, buf.getvalue())
+
+        pending = None
+        for host_batch in loader:
+            bsz = pad_ragged_batch(host_batch, n_dev)
+            batch = T.device_batch(host_batch, mesh)
+            out_dev = eval_step(state.params, state.batch_stats, batch)
+            if pending is not None:
+                _ser(*pending)
+            pending = (host_batch, bsz, out_dev)
+        if pending is not None:
+            _ser(*pending)
     return zip_path
 
 

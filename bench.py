@@ -111,9 +111,11 @@ def bench_eval(model, state, dev_batch, batch: int, n: int, mesh):
         df.to_feather(buf)
     ser_per_frame = (time.perf_counter() - t0) / reps
 
-    # pipeline rate: device step + (single-threaded) serializer in series —
-    # a conservative bound; the writer overlaps the device in practice
-    pair_s = 1.0 / (1.0 / device_pairs_per_sec + ser_per_frame)
+    # pipeline rate: the submission writer dispatches batch k+1 before
+    # serializing batch k (entry/evaluate.py::write_submission), so the
+    # steady state is bounded by the SLOWER stage, not the sum
+    pair_s = 1.0 / max(1.0 / device_pairs_per_sec, ser_per_frame)
+    serial_s = 1.0 / (1.0 / device_pairs_per_sec + ser_per_frame)
     budget_rate = 15700 / 3600.0
     print(json.dumps({
         "metric": "eval_frame_pairs_per_sec_per_chip",
@@ -122,6 +124,7 @@ def bench_eval(model, state, dev_batch, batch: int, n: int, mesh):
         "vs_baseline": round(pair_s / budget_rate, 3),
         "device_pairs_per_sec": round(device_pairs_per_sec, 3),
         "serialize_ms_per_frame": round(ser_per_frame * 1e3, 3),
+        "serial_bound_pairs_per_sec": round(serial_s, 3),
         "av2_val_minutes": round(15700 / pair_s / 60.0, 2),
         "compile_s": round(t_c, 1),
     }))

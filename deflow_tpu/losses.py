@@ -109,6 +109,7 @@ def seflow_loss(
     truncate: float = 2.0,
     chamfer_method: str = "auto",
     mesh=None,
+    dyn_cap=None,
 ) -> jnp.ndarray:
     """SeFlow self-supervised loss (arXiv:2407.01702 §IV) [T3 semantics].
 
@@ -148,12 +149,18 @@ def seflow_loss(
     # exact for the truncated loss, ~linear instead of quadratic.  With DUFO
     # labels the grid path fuses the all-points and dynamic-only chamfer
     # terms into ONE sweep per direction (~55% of two separate calls).
-    from deflow_tpu.ops.chamfer import _AUTO_GRID_PAIRS, ssl_chamfer_distances
+    from deflow_tpu.ops.chamfer import (_AUTO_GRID_PAIRS, _resolve_spec,
+                                        ssl_chamfer_distances)
 
     n, m = warped.shape[-2], pc1.shape[-2]
     use_grid = (chamfer_method == "grid"
                 or (chamfer_method == "auto" and n * m > _AUTO_GRID_PAIRS))
     if dufo0 is not None and dufo1 is not None and use_grid:
+        # dyn_cap: static row budget for the dynamic-term VJP (see
+        # NNSpec.dyn_cap); None = auto (N//3 at production scale)
+        spec = _resolve_spec("grid", n, m, truncate, None)
+        if dyn_cap is not None:
+            spec = spec._replace(dyn_cap=int(dyn_cap))
         dyn0 = m0 & (dufo0 > 0)
         dyn1 = m1 & (dufo1 > 0)
         if mesh is not None and mesh.devices.size > 1:
@@ -168,13 +175,15 @@ def seflow_loss(
             from jax.sharding import PartitionSpec as _P
 
             nn = shard_map(
-                _ft.partial(ssl_chamfer_distances, truncate=truncate),
+                _ft.partial(ssl_chamfer_distances, truncate=truncate,
+                            spec=spec),
                 mesh=mesh, in_specs=(_P("data"),) * 6,
                 out_specs=(_P("data"),) * 4, check_vma=False)
             d0, d1, dd0, dd1 = nn(warped, pc1, m0, m1, dyn0, dyn1)
         else:
             d0, d1, dd0, dd1 = ssl_chamfer_distances(
-                warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate)
+                warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate,
+                spec=spec)
         terms = (_rows_mean(jnp.minimum(d0, t2), m0)
                  + _rows_mean(jnp.minimum(d1, t2), m1)
                  + _rows_mean(jnp.minimum(dd0, t2), dyn0)

@@ -597,6 +597,25 @@ def ssl_chamfer_distances(
     return tuple(x if batched else x[0] for x in out)
 
 
+def dyn_cap_overflow_stats(flags: jnp.ndarray, n: Optional[int] = None,
+                           spec: Optional[NNSpec] = None):
+    """Telemetry for ``NNSpec.dyn_cap`` (the compacted f-term VJP budget).
+
+    ``flags``: [B, N] bool dynamic masks (``m & (dufo > 0)``).  Returns
+    (max_count, cap, overflowing_sample_fraction) — when any sample's
+    dynamic count exceeds the cap, that sample's EXTRA dynamic points lose
+    their f-term gradient contribution (forward loss is never affected).
+    Run this over a dataset sample before long SSL runs to validate the
+    auto cap (N//3) against the real DUFO label density.
+    """
+    if spec is None:
+        spec = NNSpec(method="grid")
+    cap = _dyn_cap_for(spec, n or flags.shape[-1])
+    counts = jnp.sum(flags, axis=-1)
+    return (jnp.max(counts), cap,
+            jnp.mean((counts > cap).astype(jnp.float32)))
+
+
 def grid_overflow_stats(pts: jnp.ndarray, mask: jnp.ndarray,
                         spec: Optional[NNSpec] = None):
     """Capacity-overflow telemetry for the XLA grid backend (VERDICT r2 #5).

@@ -285,3 +285,16 @@ def test_compacted_dyn_backward_matches_full():
     for a, c in zip(gf, gc):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dyn_cap_overflow_stats():
+    from deflow_tpu.ops.chamfer import NNSpec, dyn_cap_overflow_stats
+
+    flags = jnp.asarray(np.array([[1] * 50 + [0] * 50,
+                                  [1] * 90 + [0] * 10], bool))
+    mx, cap, frac = dyn_cap_overflow_stats(flags,
+                                           spec=NNSpec(dyn_cap=64))
+    assert int(mx) == 90 and cap == 64 and float(frac) == 0.5
+    # auto cap below the compaction-scale threshold = N (never overflows)
+    mx, cap, frac = dyn_cap_overflow_stats(flags)
+    assert cap == 100 and float(frac) == 0.0

@@ -539,9 +539,11 @@ def _ssl_nn_bwd(spec, res, cts):
     cap0 = _dyn_cap_for(spec, n)
     cap1 = _dyn_cap_for(spec, m)
     if cap0 < n or cap1 < m:
-        # Both directions' four scatter-adds ride ONE sorted segment-sum
-        # over the concatenated [pc0-rows | pc1-rows] segment space (one
-        # payload sort + one kernel launch instead of four).
+        # Each direction's three scatter-adds ride ONE sorted segment-sum.
+        # d_pc0 and d_pc1 stay SEPARATE calls on purpose: in SeFlow
+        # training only the warped-pc0 side carries gradient, and XLA
+        # dead-code-eliminates the whole unused direction (measured: the
+        # pre-merge trace shows only one direction's scatter pipeline).
         tr = lambda x, i: jnp.take_along_axis(x, i, axis=1)
         s0 = _compact_idx(m0 & f0, cap0)
         s1 = _compact_idx(m1 & f1, cap1)
@@ -549,13 +551,12 @@ def _ssl_nn_bwd(spec, res, cts):
                      tr(m0 & f0, s0) & anyf1)
         w1f = w_term(tr(g1f, s1), _take_rows(pc1, s1), pc0, tr(i1f, s1),
                      tr(m1 & f1, s1) & anyf0)
-        idx = jnp.concatenate(
-            [i1a, s0, tr(i1f, s1),                       # → pc0 rows
-             i0a + n, s1 + n, tr(i0f, s0) + n], axis=1)  # → pc1 rows
-        w = jnp.concatenate([-w1a, w0f, -w1f, -w0a, w1f, -w0f], axis=1)
-        d_all = _scatter_rows(
-            jnp.concatenate([w0a, w1a], axis=1), idx, w)
-        d_pc0, d_pc1 = d_all[:, :n], d_all[:, n:]
+        d_pc0 = _scatter_rows(
+            w0a, jnp.concatenate([i1a, s0, tr(i1f, s1)], axis=1),
+            jnp.concatenate([-w1a, w0f, -w1f], axis=1))
+        d_pc1 = _scatter_rows(
+            w1a, jnp.concatenate([i0a, s1, tr(i0f, s0)], axis=1),
+            jnp.concatenate([-w0a, w1f, -w0f], axis=1))
     else:
         w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
         w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)

@@ -228,8 +228,10 @@ _STACK_KEYS = (
     "pc0", "pc1", "pc0_mask", "pc1_mask", "pose0", "pose1", "ego_motion",
     "flow", "flow_is_valid", "flow_category_indices", "eval_mask",
     "dufo_label0", "dufo_label1",
-    "pch1", "pch1_mask", "pose_pch1", "pch2", "pch2_mask", "pose_pch2",
-)
+    # history frames for every depth the dataset can emit (num_frames up to
+    # 18) — keep in lockstep with trainer._BATCH_KEYS' generated pch list
+) + tuple(k for h in range(1, 17)
+          for k in (f"pch{h}", f"pch{h}_mask", f"pose_pch{h}"))
 
 
 def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
@@ -337,10 +339,15 @@ class DataLoader:
                     if abandoned.is_set():
                         return
             finally:
-                try:
-                    q.put_nowait(sentinel)
-                except queue.Full:
-                    pass
+                # The sentinel MUST reach the consumer or it blocks forever on
+                # q.get(); the queue is typically full here (consumer slower
+                # than worker), so retry with the same bounded loop as items.
+                while not abandoned.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

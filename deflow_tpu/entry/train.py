@@ -22,6 +22,32 @@ from deflow_tpu.utils import MetricLogger, StageTimer
 from deflow_tpu.entry.evaluate import run_validation
 
 
+def _warn_dyn_cap_overflow(host_batch: dict) -> None:
+    """One-time host-side dyn_cap validation on the first SSL batch: points
+    beyond the compacted f-term budget (NNSpec.dyn_cap, auto N//3) silently
+    lose their dynamic-chamfer gradient, so a denser-than-expected DUFO
+    labeling should be loud, not a quiet training-quality regression."""
+    import warnings
+
+    from deflow_tpu.ops.chamfer import NNSpec, _dyn_cap_for
+
+    for side in ("0", "1"):
+        dufo = host_batch.get(f"dufo_label{side}")
+        mask = host_batch.get(f"pc{side}_mask")
+        if dufo is None or mask is None:
+            continue
+        counts = np.sum(np.asarray(mask) & (np.asarray(dufo) > 0), axis=-1)
+        cap = _dyn_cap_for(NNSpec(method="grid"), int(np.asarray(mask).shape[-1]))
+        if counts.max() > cap:
+            warnings.warn(
+                f"dufo_label{side}: up to {int(counts.max())} dynamic points "
+                f"per sample exceed the SSL dyn_cap budget ({cap}); the extra "
+                f"points lose their dynamic-chamfer gradient (forward loss "
+                f"unaffected). Raise NNSpec.dyn_cap / seflow_loss(dyn_cap=) "
+                f"or re-check DUFO label density "
+                f"(ops.chamfer.dyn_cap_overflow_stats).")
+
+
 def main(cfg: Optional[Config] = None) -> dict:
     from deflow_tpu.utils import enable_compile_cache
 
@@ -88,6 +114,14 @@ def main(cfg: Optional[Config] = None) -> dict:
         mesh)
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
+    from deflow_tpu.losses import SSL_LOSS_REGISTRY
+    is_ssl = str(cfg.loss_fn) in SSL_LOSS_REGISTRY
+    monitor = str(cfg.model.get("val_monitor", "") or "")
+    best_keeper = (T.BestCheckpointKeeper(
+        logger.ckpt_dir, monitor,
+        mode=str(cfg.get("val_monitor_mode", "min")))
+        if monitor and val_ds is not None else None)
+
     epochs = int(cfg.epochs)
     log_every = int(cfg.get("log_every", 10))
     profile_steps = int(cfg.get("profile", 0))  # >0: trace this many steps
@@ -104,6 +138,8 @@ def main(cfg: Optional[Config] = None) -> dict:
                 jax.profiler.stop_trace()
                 print(f"profile trace written to {logger.run_dir}/profile")
             global_it += 1
+            if is_ssl and global_it == 1 and "dufo_label0" in host_batch:
+                _warn_dyn_cap_overflow(host_batch)
             with timer.stage("h2d"):
                 batch = T.device_batch(host_batch, mesh)
             with timer.stage("step"):
@@ -129,6 +165,13 @@ def main(cfg: Optional[Config] = None) -> dict:
             final_metrics = metrics
             print(f"epoch {epoch} val EPE_3way_mean "
                   f"{metrics.get('EPE_3way_mean', float('nan')):.4f}", flush=True)
+            if best_keeper is not None:
+                path = best_keeper.update(metrics, state, epoch)
+                if path:
+                    logger.log({f"best/{monitor.split('/')[-1]}":
+                                best_keeper.best}, step=int(state.step))
+                    print(f"new best {monitor}={best_keeper.best:.4f}: {path}",
+                          flush=True)
 
         if (epoch + 1) % int(cfg.get("ckpt_every", 1)) == 0:
             path = T.save_checkpoint(logger.ckpt_dir, state, epoch)

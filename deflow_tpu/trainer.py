@@ -91,9 +91,12 @@ _BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
                "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
                "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted",
                "pc0_sorted_rec", "pc1_sorted_rec",
-               # multi-frame history (num_frames > 2, loader pch{h} keys)
-               "pch1", "pch1_mask", "pose_pch1",
-               "pch2", "pch2_mask", "pose_pch2")
+               # multi-frame history (num_frames > 2, loader pch{h} keys) —
+               # generated for every h the loader could emit so a deep-history
+               # config can't silently lose frames to this whitelist
+               ) + tuple(
+    k for h in range(1, 17)
+    for k in (f"pch{h}", f"pch{h}_mask", f"pose_pch{h}"))
 
 
 def history_from_batch(batch) -> "list | None":
@@ -259,12 +262,14 @@ def jit_eval_step(eval_step, mesh: Optional[Mesh]):
 
 
 # ---------------------------------------------------------------- checkpoints
-def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> str:
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
+                    name: Optional[str] = None) -> str:
     """Orbax checkpoint per epoch, mirroring the reference's per-epoch
-    ``epoch_N_<model>.ckpt`` retention (reference README.md:76-77)."""
+    ``epoch_N_<model>.ckpt`` retention (reference README.md:76-77).
+    ``name`` overrides the directory name (e.g. ``best``)."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+    path = os.path.abspath(os.path.join(ckpt_dir, name or f"epoch_{epoch}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, {
         "params": jax.device_get(state.params),
@@ -275,6 +280,38 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> str:
     }, force=True)
     ckptr.wait_until_finished()
     return path
+
+
+class BestCheckpointKeeper:
+    """Retain the best checkpoint by a monitored validation metric — the
+    reference's Lightning ``ModelCheckpoint(monitor=...)`` behavior
+    (``conf/model/*.yaml`` ``val_monitor``, reference README.md:76-77).
+
+    ``monitor`` is the logged name (e.g. ``val/EPE_3way_mean``); the metric
+    dict is keyed without the ``val/`` prefix.  ``mode='min'`` (EPE-style)
+    or ``'max'``."""
+
+    def __init__(self, ckpt_dir: str, monitor: str, mode: str = "min"):
+        if mode not in ("min", "max"):
+            raise ValueError(f"val_monitor mode must be min|max, got {mode!r}")
+        self.ckpt_dir = ckpt_dir
+        self.key = monitor.split("/")[-1]
+        self.mode = mode
+        self.best: Optional[float] = None
+
+    def update(self, metrics: Dict[str, Any], state: TrainState,
+               epoch: int) -> Optional[str]:
+        """Save ``<ckpt_dir>/best`` iff the monitored metric improved;
+        returns the path when it did, else None."""
+        if self.key not in metrics:
+            return None
+        v = float(metrics[self.key])
+        improved = self.best is None or (
+            v < self.best if self.mode == "min" else v > self.best)
+        if not improved:
+            return None
+        self.best = v
+        return save_checkpoint(self.ckpt_dir, state, epoch, name="best")
 
 
 def load_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int]:

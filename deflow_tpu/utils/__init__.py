@@ -13,12 +13,14 @@ def enable_compile_cache(path: str | None = None) -> None:
 
     import jax
 
-    cache = path or os.environ.get(
-        "JAX_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "deflow_tpu_xla"))
+    cache = path or os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
     try:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # already configured or read-only FS — never block training
+    except OSError as e:
+        # Never block training over the cache — but say so: a silent miss
+        # costs a 5-15 min recompile on every run through the tunnel.
+        import warnings
+
+        warnings.warn(f"compile cache disabled ({cache}): {e}")

@@ -136,3 +136,47 @@ def test_multi_frame_model_consumes_history(split_dir):
     _, aux2 = step(state, T.device_batch(hb2, None))
     assert float(aux2["loss"]) != l_base
     ds.close()
+
+
+def test_prefetch_sentinel_not_dropped_when_queue_full(split_dir):
+    """ADVICE r3 (high): at normal generator completion the prefetch queue is
+    typically FULL (consumer slower than worker); the end-of-epoch sentinel
+    must still reach the consumer or it blocks forever on q.get()."""
+    import threading
+    import time
+
+    ds = HDF5Dataset(split_dir, max_points=256)
+    # 6 pairs / bs=1 = 6 batches, prefetch=1: the worker finishes while the
+    # queue is full if the consumer stalls after the first get.
+    dl = DataLoader(ds, batch_size=1, shuffle=False, prefetch=1)
+
+    got = []
+
+    def consume():
+        for i, b in enumerate(dl):
+            got.append(b["timestamp"][0])
+            if i == 0:
+                time.sleep(1.0)  # let the worker hit generator end + full q
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=20)
+    assert not t.is_alive(), "prefetch consumer deadlocked at epoch end"
+    assert len(got) == 6
+    ds.close()
+
+
+def test_deep_history_keys_survive_collate_and_device_batch(split_dir):
+    """ADVICE r3: pch3+ must not be silently dropped by the collate/_BATCH_KEYS
+    whitelists (the loader emits pch{1..num_frames-2})."""
+    from deflow_tpu import trainer as T
+
+    ds = HDF5Dataset(split_dir, max_points=256, num_frames=4)
+    hb = next(iter(DataLoader(ds, 2, shuffle=False)))
+    assert "pch1" in hb and "pch2" in hb
+    db = T.device_batch(hb, None)
+    for k in ("pch1", "pch2", "pch1_mask", "pose_pch2"):
+        assert k in db, f"{k} dropped by device_batch"
+    hist = T.history_from_batch(db)
+    assert hist is not None and len(hist) == 2
+    ds.close()

@@ -189,3 +189,33 @@ def test_eval_cli_with_torch_checkpoint(cfg, tmp_path):
     run_cfg.av2_mode = "val"
     metrics = eval_main(run_cfg)
     assert np.isfinite(metrics["EPE_3way_mean"])
+
+
+def test_best_checkpoint_keeper(cfg, tmp_path):
+    """VERDICT r3 #5: ``val_monitor`` retains a best/ checkpoint — a better
+    monitored val metric replaces it, a worse one does not."""
+    ds = HDF5Dataset(str(cfg.train_data), max_points=int(cfg.max_points))
+    model = build_model(cfg.model, precision="fp32")
+    host_batch = next(iter(DataLoader(ds, 8)))
+    state = T.init_state(model, cfg, host_batch, seed=0)
+
+    keeper = T.BestCheckpointKeeper(str(tmp_path),
+                                    str(cfg.model.val_monitor), mode="min")
+    assert keeper.key == "EPE_3way_mean"
+
+    p1 = keeper.update({"EPE_3way_mean": 0.5}, state, epoch=0)
+    assert p1 and os.path.isdir(p1) and p1.endswith("best")
+    # worse → no save, best unchanged
+    state2 = state.replace(step=state.step + 1)
+    assert keeper.update({"EPE_3way_mean": 0.7}, state2, epoch=1) is None
+    restored, _ = T.load_checkpoint(p1, state)
+    assert int(restored.step) == int(state.step)
+    # better → overwrites with the new state
+    p2 = keeper.update({"EPE_3way_mean": 0.3}, state2, epoch=2)
+    assert p2 == p1
+    restored, epoch = T.load_checkpoint(p1, state)
+    assert int(restored.step) == int(state2.step) and epoch == 2
+    # missing monitored key → ignored
+    assert keeper.update({"other": 1.0}, state, epoch=3) is None
+    assert keeper.best == 0.3
+    ds.close()

@@ -72,16 +72,18 @@ def make_batch(batch: int, n: int, valid: int, seed: int = 0,
 
 def bench_eval(model, state, dev_batch, batch: int, n: int, mesh):
     """Eval-mode throughput: jitted forward (no grad/optimizer) pairs/s/chip
-    plus per-frame submission serialization (v2 feather of all raw points),
-    extrapolated to the 15.7k-pair AV2 val split.  ``vs_baseline`` is against
-    the reference's eval budget rate: AV2 val ≤ 1 h on one GPU
+    plus per-frame submission serialization (v2 feather of all raw points +
+    stored-zip append — the production write_submission path), extrapolated
+    to the 15.7k-pair AV2 val split.  ``vs_baseline`` is against the
+    reference's eval budget rate: AV2 val ≤ 1 h on one GPU
     (reference assets/slurm/2_eval.sh) ⇒ 15.7k/3600 ≈ 4.36 pairs/s."""
     import io
+    import zipfile
 
     import jax
-    import pandas as pd
 
     from deflow_tpu import trainer as T
+    from deflow_tpu.entry.evaluate import encode_submission_frame
 
     eval_step = T.jit_eval_step(T.make_eval_step(model), mesh)
 
@@ -100,16 +102,20 @@ def bench_eval(model, state, dev_batch, batch: int, n: int, mesh):
     device_pairs_per_sec = batch / dt
 
     # host submission serialization: one v2 feather frame of all raw points
-    flow = np.asarray(jax.device_get(out["pred_flow"][0])).astype(np.float16)
+    # through the production encoder + stored-zip append (write_submission)
+    flow = np.asarray(jax.device_get(out["pred_flow"][0])).astype(np.float32)
+    pose_flow = np.asarray(jax.device_get(out["pose_flow"][0])).astype(np.float32)
     valid = np.ones(n, bool)
+    zf = zipfile.ZipFile(io.BytesIO(), "w", zipfile.ZIP_STORED)
+    zf.writestr("warm.feather",
+                encode_submission_frame(flow, pose_flow, valid, version=2))
     t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        df = pd.DataFrame({"is_valid": valid, "flow_tx_m": flow[:, 0],
-                           "flow_ty_m": flow[:, 1], "flow_tz_m": flow[:, 2]})
-        buf = io.BytesIO()
-        df.to_feather(buf)
+    reps = 10
+    for i in range(reps):
+        zf.writestr(f"f{i}.feather",
+                    encode_submission_frame(flow, pose_flow, valid, version=2))
     ser_per_frame = (time.perf_counter() - t0) / reps
+    zf.close()
 
     # pipeline rate: the submission writer dispatches batch k+1 before
     # serializing batch k (entry/evaluate.py::write_submission), so the

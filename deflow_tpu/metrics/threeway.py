@@ -7,8 +7,9 @@ evaluation definition:
 
 - points are split into three buckets by (class, motion):
     FD  foreground & dynamic      FS  foreground & static
-    BS  background & static       (background-dynamic exists but is not part
-                                   of the headline table; tracked anyway)
+    BS  background & static       (background-dynamic is EXCLUDED from the
+                                   headline table, matching the official
+                                   metric; only its point count is reported)
   foreground = AV2 category != NONE(0); dynamic = ||gt_flow − ego_flow|| >
   0.05 m over the 0.1 s sweep (≥ 0.5 m/s).
 - per frame and bucket: EPE (mean L2), AccS (EPE<0.05 m or relative<5%),
@@ -55,7 +56,8 @@ class ThreewayEPE:
         default_factory=lambda: {b: {s: 0.0 for s in _STATS} for b in BUCKETS}
     )
     frames: Dict[str, int] = field(default_factory=lambda: {b: 0 for b in BUCKETS})
-    point_counts: Dict[str, int] = field(default_factory=lambda: {b: 0 for b in BUCKETS})
+    point_counts: Dict[str, int] = field(
+        default_factory=lambda: {b: 0 for b in BUCKETS + ("BD",)})
 
     def update(
         self,
@@ -78,6 +80,9 @@ class ThreewayEPE:
             "FS": foreground & ~dynamic,
             "BS": ~foreground & ~dynamic,
         }
+        # background-dynamic: excluded from the scored buckets; counted so
+        # the exclusion is visible in the table
+        self.point_counts["BD"] += int((~foreground & dynamic).sum())
         epe = np.linalg.norm(pred - gt, axis=-1)
         gt_norm = np.linalg.norm(gt, axis=-1)
         acc_s = _accuracy(epe, gt_norm, 0.05)
@@ -116,5 +121,7 @@ class ThreewayEPE:
                 f"{b:>8} {m[f'EPE_{b}']:>8.4f} {m[f'AccS_{b}']:>8.4f} "
                 f"{m[f'AccR_{b}']:>8.4f} {m[f'Angle_{b}']:>8.4f} {self.point_counts[b]:>10d}"
             )
+        lines.append(f"{'BD':>8} {'—':>8} {'—':>8} {'—':>8} {'—':>8} "
+                     f"{self.point_counts['BD']:>10d}  (excluded)")
         lines.append(f"Three-way EPE mean: {m['EPE_3way_mean']:.4f}")
         return "\n".join(lines)

@@ -229,34 +229,6 @@ class Conv3x3S2D(nn.Module):
         return y + bias4
 
 
-class _PWConv(nn.Module):
-    """3x3/s1/p1 conv with the Pallas wgrad backward (parameter names and
-    shapes identical to ``nn.Conv``: kernel [3,3,Cin,Cout] + bias)."""
-
-    out_channels: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from deflow_tpu.ops.pallas_wgrad import conv3x3_pallas_bwd
-
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(batch_axis=(), in_axis=(0, 1, 2)),
-            (3, 3, x.shape[-1], self.out_channels))
-        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        y = conv3x3_pallas_bwd(x.astype(self.dtype), kernel.astype(self.dtype))
-        return y + bias.astype(y.dtype)
-
-
-def _fold_enc() -> bool:
-    """DEFLOW_FOLD_ENC=1: run encoder steps 2-4 phase-folded (experimental —
-    full-lane [H/4, W/4, 4C] tensors instead of half-lane C=64 maps)."""
-    import os
-
-    return os.environ.get("DEFLOW_FOLD_ENC", "0") == "1"
-
-
 class _ConvParams(nn.Module):
     """Parameter twin of ``nn.Conv`` (kernel [3,3,Cin,Cout] + bias) — holds
     the variables for a fused-chain stage without owning the compute.  Init
@@ -442,10 +414,6 @@ class ConvWithNorms(nn.Module):
     exactly 1x1 (a static-shape check, so it folds away under jit).
     ``space_to_depth`` swaps the conv for the phase-folded equivalent
     (k=8/s=2/p=3 only); the parameter tree is unchanged (``conv/kernel``).
-    ``folded_3x3`` evaluates the 3x3/s1 conv + BN + GELU on a PHASE-FOLDED
-    input [B, H/2, W/2, 4C] (structured kernel via :class:`Conv3x3S2D`; BN
-    stats aggregate over phases per original channel) — again with the
-    identical checkpoint parameter tree.
     """
 
     out_channels: int
@@ -455,43 +423,24 @@ class ConvWithNorms(nn.Module):
     dtype: Any = jnp.float32
     space_to_depth: bool = False
     s2d_input: bool = False  # input arrives already phase-folded
-    folded_3x3: bool = False  # input AND output phase-folded (3x3/s1 only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        if self.folded_3x3:
-            assert (self.kernel_size, self.stride, self.padding) == (3, 1, 1)
-            y = Conv3x3S2D(self.out_channels, dtype=self.dtype, name="conv")(x)
-            ys = _phase_split(y)
-            ys = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                              epsilon=1e-5, dtype=jnp.float32,
-                              name="batchnorm")(ys)
-            return _phase_merge(nn.gelu(ys, approximate=False))
         if self.space_to_depth:
             assert (self.kernel_size, self.stride, self.padding) == (8, 2, 3)
             cin = x.shape[-1] // 4 if self.s2d_input else x.shape[-1]
             x = SpaceToDepthConv(self.out_channels, cin, dtype=self.dtype,
                                  pre_folded=self.s2d_input, name="conv")(x)
         else:
-            from deflow_tpu.ops.pallas_wgrad import (
-                T_ROWS, conv3x3_pallas_bwd, use_pallas_wgrad)
-
-            if ((self.kernel_size, self.stride, self.padding) == (3, 1, 1)
-                    and x.shape[1] % T_ROWS == 0 and use_pallas_wgrad()):
-                # same parameter tree as nn.Conv (conv/kernel, conv/bias);
-                # only the weight-grad path changes (Pallas wgrad kernel)
-                x = _PWConv(self.out_channels, dtype=self.dtype,
-                            name="conv")(x)
-            else:
-                x = nn.Conv(
-                    self.out_channels,
-                    (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride),
-                    padding=((self.padding, self.padding),
-                             (self.padding, self.padding)),
-                    dtype=self.dtype,
-                    name="conv",
-                )(x)
+            x = nn.Conv(
+                self.out_channels,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding),
+                         (self.padding, self.padding)),
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if not (x.shape[1] == 1 and x.shape[2] == 1):
             # f32 BN on purpose: ablated dtype=self.dtype (bf16) on v5e and it
             # LOST ~3% step time (32.4 vs 33.3 pairs/s) — XLA's convert+reduce
@@ -572,13 +521,9 @@ class FastFlow3DUNet(nn.Module):
             self.encoder_step_1 = CWN(
                 64, 8, 2, 3, dtype=self.dtype, space_to_depth=True,
                 s2d_input=self.s2d, name="encoder_step_1")
-        fold = _fold_enc()
         cbg = lambda c, name: CBGBlock(c, c, dtype=self.dtype, name=name)
-        if "256" in fused:
-            cwn_f = lambda c, k, s, p, name: cbg(c, name)
-        else:
-            cwn_f = lambda c, k, s, p, name: CWN(
-                c, k, s, p, dtype=self.dtype, folded_3x3=fold, name=name)
+        cwn_f = ((lambda c, k, s, p, name: cbg(c, name))
+                 if "256" in fused else cwn)
         cwn_128 = ((lambda c, k, s, p, name: cbg(c, name))
                    if "128" in fused else cwn)
         cwn_64 = ((lambda c, k, s, p, name: cbg(c, name))
@@ -665,33 +610,14 @@ class FastFlow3DUNet(nn.Module):
         self, x: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Returns the three skip scales (stride 2, 4, 8 feature maps)."""
-        if not getattr(self.encoder_step_2, "folded_3x3", False):
-            n = self._enc_stage(self.encoder_step_1,
-                                [self.encoder_step_2, self.encoder_step_3,
-                                 self.encoder_step_4], x, train)
-            r = self._enc_stage(self.encoder_step_5,
-                                [self.encoder_step_6, self.encoder_step_7,
-                                 self.encoder_step_8], n, train)
-            t = self._enc_stage(self.encoder_step_9,
-                                [self.encoder_step_10], r, train)
-            return n, r, t
-        # DEFLOW_FOLD_ENC experiment: steps 2-4 phase-folded (full-lane
-        # [H/4, W/4, 256] tensors instead of half-lane C=64 maps; the
-        # fold/unfold are two copies)
-        f = self.encoder_step_1(x, train)
-        b, h, w, c = f.shape
-        ff = f.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
-            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        ff = self.encoder_step_2(ff, train)
-        ff = self.encoder_step_3(ff, train)
-        ff = self.encoder_step_4(ff, train)
-        n = ff.reshape(b, h // 2, w // 2, 2, 2, c).transpose(
-            0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
-        f = self.encoder_step_5(n, train)
-        r = self._stage3([self.encoder_step_6, self.encoder_step_7,
-                          self.encoder_step_8], f, train)      # [H/4,W/4,128]
-        f = self.encoder_step_9(r, train)
-        t = self._stage3([self.encoder_step_10], f, train)     # [H/8,W/8,256]
+        n = self._enc_stage(self.encoder_step_1,
+                            [self.encoder_step_2, self.encoder_step_3,
+                             self.encoder_step_4], x, train)
+        r = self._enc_stage(self.encoder_step_5,
+                            [self.encoder_step_6, self.encoder_step_7,
+                             self.encoder_step_8], n, train)
+        t = self._enc_stage(self.encoder_step_9,
+                            [self.encoder_step_10], r, train)
         return n, r, t
 
     def __call__(

@@ -6,9 +6,10 @@ tools/trace_step.py @ bs=4): the XLA lowering of these stages is the
 supervised step's long tail — per 256² block ≈ 1.04 ms dual-dtype
 (bf16,f32) forward stash fusions, 0.74 ms BN-stat convert_reduce, 1.3-1.7 ms
 BN backward fusions, plus wgrad/dgrad layout churn; ~15-20 ms across the
-seven 3x3 stages.  Op-granular Pallas insertion LOSES (pallas_wgrad.py's
-measured negative: XLA materializes channel pads + pre-shifted copies
-around custom-calls), so these kernels fuse whole blocks and chain through
+seven 3x3 stages.  Op-granular Pallas insertion LOSES (a standalone 3x3
+wgrad kernel measured 31.2 vs 35.3 pairs/s — XLA materializes channel pads
++ pre-shifted copies around custom-calls; removed round 4), so these
+kernels fuse whole blocks and chain through
 HBM only via the PRE-BN conv outputs ``s_i``:
 
     forward  block i:  s_i = conv3x3(gelu(bn_i-1(s_{i-1}))) + bias_i

@@ -100,35 +100,6 @@ def test_s2d_param_tree_matches_checkpoint_layout():
     assert variables["params"]["encoder_step_1"]["conv"]["bias"].shape == (64,)
 
 
-def test_folded_encoder_matches_plain(monkeypatch):
-    """DEFLOW_FOLD_ENC=1: encoder steps 2-4 evaluated phase-folded give the
-    same outputs from the SAME parameters (structured-kernel rearrangement +
-    phase-aggregated BN are exact)."""
-    import os
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from deflow_tpu.models.unet import FastFlow3DUNet
-
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 32)).astype(np.float32))
-    b = jnp.asarray(rng.normal(0, 1, (2, 32, 32, 32)).astype(np.float32))
-
-    plain = FastFlow3DUNet(dtype=jnp.float32)
-    variables = plain.init(jax.random.key(0), a, b, True)
-    out_plain, _ = plain.apply(variables, a, b, True,
-                               mutable=["batch_stats"])
-
-    monkeypatch.setenv("DEFLOW_FOLD_ENC", "1")
-    folded = FastFlow3DUNet(dtype=jnp.float32)
-    out_folded, _ = folded.apply(variables, a, b, True,
-                                 mutable=["batch_stats"])
-    np.testing.assert_allclose(np.asarray(out_folded), np.asarray(out_plain),
-                               rtol=1e-4, atol=1e-4)
-
-
 def test_remat_unet_matches_plain(monkeypatch):
     """DEFLOW_REMAT in {1, conv}: identical parameter tree, identical
     forward, and matching gradients up to reduction reassociation (remat
@@ -164,45 +135,3 @@ def test_remat_unet_matches_plain(monkeypatch):
         # analytically zero and numerically pure cancellation noise (~1e-3)
         jax.tree.map(lambda x, y: np.testing.assert_allclose(
             np.asarray(y), np.asarray(x), rtol=2e-4, atol=3e-3), g0, gr)
-
-
-def test_pallas_wgrad_conv_matches_nn_conv(monkeypatch):
-    """DEFLOW_PALLAS_WGRAD=1: identical params, identical forward, and the
-    Pallas weight gradient matches XLA's conv wgrad."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from jax.experimental import pallas as pl
-
-    orig = pl.pallas_call
-    monkeypatch.setattr(pl, "pallas_call",
-                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
-    import deflow_tpu.ops.voxel as V
-    monkeypatch.setattr(V, "_use_pallas", lambda: True)
-
-    from deflow_tpu.models.unet import ConvWithNorms
-
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 8)).astype(np.float32))
-
-    plain = ConvWithNorms(8, 3, 1, 1, dtype=jnp.float32)
-    variables = plain.init(jax.random.key(0), x, True)
-
-    def loss(params, mod):
-        y, _ = mod.apply({"params": params, "batch_stats":
-                          variables.get("batch_stats", {})}, x, True,
-                         mutable=["batch_stats"])
-        return jnp.sum(y ** 2)
-
-    v0, g0 = jax.value_and_grad(loss)(variables["params"], plain)
-
-    monkeypatch.setenv("DEFLOW_PALLAS_WGRAD", "1")
-    pw = ConvWithNorms(8, 3, 1, 1, dtype=jnp.float32)
-    v1, g1 = jax.value_and_grad(loss)(variables["params"], pw)
-
-    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5),
-        g0, g1)

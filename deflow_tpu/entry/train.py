@@ -24,9 +24,10 @@ from deflow_tpu.entry.evaluate import run_validation
 
 def _warn_dyn_cap_overflow(host_batch: dict) -> None:
     """One-time host-side dyn_cap validation on the first SSL batch: points
-    beyond the compacted f-term budget (NNSpec.dyn_cap, auto N//3) silently
-    lose their dynamic-chamfer gradient, so a denser-than-expected DUFO
-    labeling should be loud, not a quiet training-quality regression."""
+    beyond an explicit compacted f-term budget (NNSpec.dyn_cap; default =
+    no compaction) silently lose their dynamic-chamfer gradient, so a
+    denser-than-expected DUFO labeling should be loud, not a quiet
+    training-quality regression."""
     import warnings
 
     from deflow_tpu.ops.chamfer import NNSpec, _dyn_cap_for

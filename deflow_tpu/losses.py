@@ -157,7 +157,13 @@ def seflow_loss(
                 or (chamfer_method == "auto" and n * m > _AUTO_GRID_PAIRS))
     if dufo0 is not None and dufo1 is not None and use_grid:
         # dyn_cap: static row budget for the dynamic-term VJP (see
-        # NNSpec.dyn_cap); None = auto (N//3 at production scale)
+        # NNSpec.dyn_cap); None = N (no compaction — measured faster).
+        # DEFLOW_SSL_DYNCAP overrides for A/B benching (0 = uncompacted).
+        import os as _os
+
+        env_cap = _os.environ.get("DEFLOW_SSL_DYNCAP")
+        if dyn_cap is None and env_cap is not None:
+            dyn_cap = int(env_cap) or n
         spec = _resolve_spec("grid", n, m, truncate, None)
         if dyn_cap is not None:
             spec = spec._replace(dyn_cap=int(dyn_cap))

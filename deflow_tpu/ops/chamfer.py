@@ -66,12 +66,13 @@ class NNSpec(NamedTuple):
     chunk: int = 2048         # grid: query points per scan step
     # SSL backward: static row budget for the DYNAMIC-term VJP work.  The
     # f-term gathers/scatters only have support on flagged rows (~5-20% of
-    # AV2 clouds after DUFO labelling), but static shapes would otherwise
-    # run them at full N (measured 12.9 ms of descriptor-bound gather
-    # fusions in the 177 ms SSL step).  None = auto: N//3 (rounded up to
-    # 1024) when N >= 32768, else N (no compaction).  Dynamic points beyond
-    # the cap lose their f-term GRADIENT contribution only (forward loss
-    # values are never affected); cap >= the true dynamic count is exact.
+    # AV2 clouds after DUFO labelling); an explicit cap compacts their VJP
+    # to that many rows.  None = N (NO compaction — the r3 N//3 auto-cap
+    # was measured to LOSE 3% on v5e: the compaction sort + row re-gathers
+    # cost more than the full-width rows they delete).  Dynamic points
+    # beyond an explicit cap lose their f-term GRADIENT contribution only
+    # (forward loss values are never affected); cap >= the true dynamic
+    # count is exact.
     dyn_cap: Optional[int] = None
 
 
@@ -497,9 +498,14 @@ def _ssl_nn_fwd(pc0, pc1, mask0, mask1, flag0, flag1, spec):
 
 
 def _dyn_cap_for(spec: "NNSpec", n: int) -> int:
+    """Default is NO compaction: the N//3 auto-cap was measured to LOSE on
+    v5e (SSL 22.30 vs 23.04 pairs/s/chip @4x98304 — the compaction sort +
+    take_along_axis gathers cost more than the full-width f-term rows they
+    delete), and an explicit cap silently truncates f-term gradients beyond
+    it.  Set ``dyn_cap`` only with telemetry (dyn_cap_overflow_stats)."""
     cap = spec.dyn_cap
     if cap is None:
-        cap = -(-(n // 3) // 1024) * 1024 if n >= 32768 else n
+        cap = n
     return min(cap, n)
 
 
@@ -606,8 +612,8 @@ def dyn_cap_overflow_stats(flags: jnp.ndarray, n: Optional[int] = None,
     (max_count, cap, overflowing_sample_fraction) — when any sample's
     dynamic count exceeds the cap, that sample's EXTRA dynamic points lose
     their f-term gradient contribution (forward loss is never affected).
-    Run this over a dataset sample before long SSL runs to validate the
-    auto cap (N//3) against the real DUFO label density.
+    Run this over a dataset sample to size an explicit cap against the
+    real DUFO label density before enabling compaction.
     """
     if spec is None:
         spec = NNSpec(method="grid")

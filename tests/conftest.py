@@ -29,3 +29,15 @@ jax.config.update("jax_num_cpu_devices", 8)
 # runs a reduced-precision (bf16-style) pass on the TPU backend (~1% error vs
 # torch). HIGHEST matches torch f32 to ~3e-5 and costs little on CPU.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly @pytest.mark.slow is part of the fast tier
+    (`pytest -m fast`, <5 min on 1 vCPU) so drivers/reviewers can verify the
+    whole subsystem surface inside a timeout; the slow tier adds full-model
+    compiles and large-shape parity runs."""
+    import pytest
+
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

@@ -31,6 +31,7 @@ def test_reference_ablation_clis(overrides, expect):
     assert tuple(model.grid_feature_size) == grid
 
 
+@pytest.mark.slow
 def test_submission_zip(tmp_path):
     """Pins the OFFICIAL leaderboard schemas [T3]:
 

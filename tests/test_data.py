@@ -101,6 +101,7 @@ def test_multi_frame_history(split_dir):
     ds.close()
 
 
+@pytest.mark.slow
 def test_multi_frame_model_consumes_history(split_dir):
     """num_frames=3 end-to-end: the model embeds the history frame (shared
     siamese embedder, channel-concat into the UNet input) and the loss

@@ -295,6 +295,6 @@ def test_dyn_cap_overflow_stats():
     mx, cap, frac = dyn_cap_overflow_stats(flags,
                                            spec=NNSpec(dyn_cap=64))
     assert int(mx) == 90 and cap == 64 and float(frac) == 0.5
-    # auto cap below the compaction-scale threshold = N (never overflows)
+    # default = N (no compaction: never overflows)
     mx, cap, frac = dyn_cap_overflow_stats(flags)
     assert cap == 100 and float(frac) == 0.0

@@ -129,6 +129,7 @@ def test_host_prep_pallas_plan_equivalence(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sorted_pipeline_train_step_equivalence():
     """attach_host_prep(sort=True) permutes every per-point array on the host;
     the train step (loss + updated params) must match the unsorted pipeline —
@@ -248,6 +249,7 @@ def test_sorted_record_semantics():
         np.testing.assert_allclose(rec, rec_np, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sorted_record_path_matches_unsorted(monkeypatch):
     """Fully-sorted embedder compute (host record, forced pallas interpret)
     must reproduce the unsorted host path's pseudoimage and model flow."""

@@ -34,6 +34,7 @@ def _run(model, variables, pc0, pc1, m0, m1):
                        jnp.asarray(m0[None]), jnp.asarray(m1[None]))
 
 
+@pytest.mark.slow
 def test_padding_length_invariance():
     """Same cloud padded to 1024 vs 2048 slots → identical per-point flow."""
     rng = np.random.default_rng(1)

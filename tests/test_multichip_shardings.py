@@ -5,6 +5,7 @@ wiring-risk-free (VERDICT r1 #10; reference trains 8-GPU DDP,
 assets/slurm/1_train.sh)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -34,6 +35,7 @@ def _host_batch(b, n, seed=0):
     return attach_host_prep(hb, VOXEL, RANGE, sort=True)
 
 
+@pytest.mark.slow
 def test_bs16_train_step_partitions_batch_over_8_devices():
     assert len(jax.devices()) >= 8, "conftest must provide the virtual mesh"
     mesh = T.create_mesh(8)
@@ -74,6 +76,7 @@ def test_bs16_train_step_partitions_batch_over_8_devices():
     np.testing.assert_allclose(float(aux["epe"]), float(aux1["epe"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_ssl_grid_chamfer_matches_single_device():
     """shard_map'd grid-chamfer SSL loss (per-chip local sorts, zero
     collectives inside the loss) == the unsharded value, including grads
@@ -112,6 +115,7 @@ def test_sharded_ssl_grid_chamfer_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_compacted_dyn_vjp_matches_single_device():
     """NNSpec.dyn_cap (compacted f-term VJP) under shard_map over the data
     axis == the unsharded value and grads — the compaction sort/gathers are

@@ -68,6 +68,7 @@ def _run_fused(x, params):
 
 
 @pytest.mark.parametrize("chans", [(8, 8, 8, 8), (8, 16, 8)])
+@pytest.mark.slow
 def test_fwd_matches_plain(chans):
     rng = np.random.default_rng(0)
     b, h, w = 2, 16, 8
@@ -87,6 +88,7 @@ def test_fwd_matches_plain(chans):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bwd_matches_plain():
     rng = np.random.default_rng(2)
     chans = (8, 8, 8, 8)
@@ -115,6 +117,7 @@ def test_bwd_matches_plain():
                                        rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_headbn_chain_matches_plain():
     """head_gb: the chain applies BN0+GELU0 of its pre-BN input in the first
     block's load phase — forward, head stats, dL/dx (pre-BN cotangent with
@@ -163,6 +166,7 @@ def test_headbn_chain_matches_plain():
         np.asarray(c), np.asarray(a), rtol=1e-3, atol=3e-4), g0, g1)
 
 
+@pytest.mark.slow
 def test_fused_unet_matches_plain(monkeypatch):
     """DEFLOW_FUSED_CBG=1: identical variable tree (conv/batchnorm names),
     matching forward, batch-stat updates, and gradients vs the plain UNet."""
@@ -209,6 +213,7 @@ def test_fused_unet_matches_plain(monkeypatch):
         np.asarray(y), np.asarray(x), rtol=2e-3, atol=2e-2), g0, g1)
 
 
+@pytest.mark.slow
 def test_single_block_chain():
     """nb=1 chain (the UNet's encoder_step_10) — head and tail coincide."""
     rng = np.random.default_rng(4)

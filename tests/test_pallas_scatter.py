@@ -113,6 +113,7 @@ def test_embedder_plan_path_matches_xla(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_grad_plan_path_matches_xla(monkeypatch):
     """Gradients through the planned gather/scatter path (forced, interpret
     mode) must match the pure-XLA path — guards the custom VJPs end to end."""

@@ -46,6 +46,7 @@ def test_mesh_is_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_descends(cfg):
     mesh = T.create_mesh()
     assert mesh.devices.size == 8
@@ -85,6 +86,7 @@ def test_eval_step_and_validation(cfg):
     ds.close()
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(cfg, tmp_path):
     mesh = T.create_mesh()
     ds = HDF5Dataset(str(cfg.train_data), max_points=int(cfg.max_points))
@@ -121,6 +123,7 @@ def test_train_main_entry(cfg, tmp_path):
     assert any(c.startswith("epoch_") for c in ckpts)
 
 
+@pytest.mark.slow
 def test_pallas_path_under_sharding(monkeypatch):
     """Pallas kernels inside the pjit-sharded train step (interpret mode on
     the 8-device mesh) must produce the same loss as the XLA path — guards

@@ -585,8 +585,12 @@ class FastFlow3DUNet(nn.Module):
 
     def _stage3(self, mods, f: jnp.ndarray, train: bool) -> jnp.ndarray:
         """A run of plain-3x3 blocks: fused Pallas chain when the stages are
-        CBGBlocks in train mode, per-block calls otherwise."""
+        CBGBlocks in train mode (and the batch-dependent chain gate says the
+        chain wins), per-block calls otherwise."""
+        from deflow_tpu.ops.pallas_cbg import chain_at_batch
+
         if (isinstance(mods[0], CBGBlock) and train
+                and chain_at_batch(f.shape[0])
                 and f.shape[1] % 8 == 0 and f.shape[2] % 8 == 0):
             return self._chain(mods, f)
         for m in mods:
@@ -598,8 +602,11 @@ class FastFlow3DUNet(nn.Module):
         """Downsample stem + plain-3x3 group: when the stem is a deferred
         head and the group is fused, one chain call covers stem epilogue +
         all three blocks; otherwise the plain per-module path."""
+        from deflow_tpu.ops.pallas_cbg import chain_at_batch
+
         if (isinstance(head_mod, StemHeadCBG) and train
-                and isinstance(mods[0], CBGBlock)):
+                and isinstance(mods[0], CBGBlock)
+                and chain_at_batch(x.shape[0])):
             s = head_mod.conv_out(x)
             if s.shape[1] % 8 == 0 and s.shape[2] % 8 == 0:
                 return self._chain(mods, s, head=head_mod)

@@ -566,8 +566,16 @@ def _ssl_nn_bwd(spec, res, cts):
     else:
         w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
         w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)
-        d_pc0 = _scatter_rows(_scatter_rows(w0a + w0f, i1a, -w1a), i1f, -w1f)
-        d_pc1 = _scatter_rows(_scatter_rows(w1a + w1f, i0a, -w0a), i0f, -w0f)
+        # ONE scatter per direction (indices/payloads concatenated): the
+        # kernel's cost is dominated by the [B·N, 128-lane] output write
+        # (~4.45 ms at 4x98304), so two passes per direction paid that
+        # twice.  d_pc0/d_pc1 stay SEPARATE calls on purpose — in SeFlow
+        # only the warped side carries gradient and XLA dead-code-
+        # eliminates the unused direction entirely.
+        d_pc0 = _scatter_rows(w0a + w0f, jnp.concatenate([i1a, i1f], axis=1),
+                              jnp.concatenate([-w1a, -w1f], axis=1))
+        d_pc1 = _scatter_rows(w1a + w1f, jnp.concatenate([i0a, i0f], axis=1),
+                              jnp.concatenate([-w0a, -w0f], axis=1))
     zeros = [jnp.zeros(x.shape, dtype=jax.dtypes.float0)
              for x in (res[2], res[3], res[4], res[5])]
     return (d_pc0, d_pc1, *zeros)

@@ -694,17 +694,23 @@ def guard_slice(x_g: jnp.ndarray, b: int, h: int, w: int) -> jnp.ndarray:
 
 
 def use_fused_cbg() -> frozenset:
-    """Stage groups (by grid-size tag) routed through the fused chain.
+    """Stage groups (by grid-size tag) whose modules are chain-capable
+    (CBGBlock/StemHeadCBG twins — identical parameter trees, plain-XLA
+    ``__call__`` fallbacks).
 
-    DEFLOW_FUSED_CBG on TPU: ``0``/unset = off, ``1``/``all`` = every
-    plain-3x3 run, or a comma list of {256,128,64} stage-group tags.
-    Measured in-step on v5e @bs=4 with the deferred-epilogue heads and
-    T=16: fused 256,128 sampled 35.13-35.43 pairs/s vs plain 35.34-35.43
-    under the same chip conditions — a WASH (XLA's own lowering of these
-    stages is already near-optimal once the epilogue-boundary copies are
-    the only delta).  Stays opt-in per the repo's measured-neutral
-    precedent; the 64² group costs a further ~0.4 ms."""
-    v = os.environ.get("DEFLOW_FUSED_CBG", "0").strip()
+    DEFLOW_FUSED_CBG on TPU: ``auto`` (default) = instantiate the 256+128
+    groups and let :func:`chain_at_batch` pick the fused chain only in the
+    small-batch regime; ``0`` = plain modules everywhere; ``1``/``all`` =
+    every plain-3x3 group; or a comma list of {256,128,64} tags (always
+    chained — the A/B form).
+
+    Measured in-step on v5e with deferred-epilogue heads and T=16:
+    bs=2 fused 33.85 pairs/s vs plain 25.90 (+31% — the fused chain's flat
+    layout dodges the small-batch conv-bwd layout churn); bs=4 fused
+    sampled 35.13-35.43 vs plain 35.34-35.43 (wash: XLA's lowering is
+    already HBM-bound-optimal once the epilogue-boundary copies are the
+    only delta); the 64² group costs a further ~0.4 ms."""
+    v = os.environ.get("DEFLOW_FUSED_CBG", "auto").strip()
     if v in ("0", ""):
         return frozenset()
     from deflow_tpu.ops.voxel import _use_pallas
@@ -713,4 +719,16 @@ def use_fused_cbg() -> frozenset:
         return frozenset()
     if v in ("1", "all"):
         return frozenset({"256", "128", "64"})
+    if v == "auto":
+        return frozenset({"256", "128"})
     return frozenset(x.strip() for x in v.split(","))
+
+
+def chain_at_batch(rows2b: int) -> bool:
+    """Call-time gate for the fused chain: under the ``auto`` policy it runs
+    only at siamese batch 2B <= 4 (the layout-churn regime where it wins
+    +31%; at 2B >= 8 it is a measured wash and XLA keeps the stages).  An
+    explicit DEFLOW_FUSED_CBG group list always chains."""
+    if os.environ.get("DEFLOW_FUSED_CBG", "auto").strip() == "auto":
+        return rows2b <= 4
+    return True

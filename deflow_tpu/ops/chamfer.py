@@ -419,18 +419,21 @@ def _take_rows(x, i):
                                axis=1)
 
 
-def _scatter_rows(base, i, w):
-    """base[b].at[i[b]].add(w[b]) with out-of-range drop.
+def _scatter_lanes(i, w, n_rows):
+    """Segment scatter-add: ``out[b, i[b, k], :] += w[b, k, :]`` into
+    ``[B, n_rows, L]`` zeros, out-of-range indices dropped.
 
     XLA lowers the scatter-add at ~40 ns/row (15.8 ms at 393k rows,
     measured) — on TPU it is reformulated as sort-by-index + the presorted
     Pallas segment-sum kernel (~4 ms): duplicate indices become segment
-    spans, exactly the kernel's contract."""
-    b, n_rows, _ = base.shape
-    m = i.shape[1]
+    spans, exactly the kernel's contract.  The kernel's cost is the
+    [segments, 128-lane] output write, so extra payload lanes (L=4 for the
+    mirror-term g-sum) ride free."""
+    b, m, lanes = w.shape
     if not (_use_pallas() and b * m >= _SCATTER_PALLAS_MIN):
-        return jax.vmap(lambda bb, ii, ww: bb.at[ii].add(ww, mode="drop"))(
-            base, i, w)
+        zeros = jnp.zeros((b, n_rows, lanes), w.dtype)
+        return jax.vmap(lambda ii, ww: zeros[0].at[ii].add(ww, mode="drop"))(
+            i, w)
     from deflow_tpu.ops.pallas_scatter import (
         CHUNK, TILE_P, ScatterPlan, _round_up, pillar_sum_scatter_pallas)
 
@@ -439,19 +442,44 @@ def _scatter_rows(base, i, w):
     off = (jnp.arange(b, dtype=jnp.int32) * n_rows)[:, None]
     flat_i = jnp.where((i >= 0) & (i < n_rows), i + off,
                        sentinel).reshape(b * m)
-    wf = w.reshape(b * m, 3).astype(jnp.float32)
-    sidx, swx, swy, swz = jax.lax.sort(
-        (flat_i, wf[:, 0], wf[:, 1], wf[:, 2]), num_keys=1)
+    wf = w.reshape(b * m, lanes).astype(jnp.float32)
+    sorted_cols = jax.lax.sort(
+        (flat_i,) + tuple(wf[:, k] for k in range(lanes)), num_keys=1)
+    sidx = sorted_cols[0]
     n_pad = _round_up(b * m, CHUNK)
     sorted_pid = jnp.pad(sidx, (0, n_pad - b * m), constant_values=sentinel)
     plan = ScatterPlan(sidx, None, sorted_pid.astype(jnp.int32))
-    w_sorted = jnp.stack([swx, swy, swz], axis=-1)
+    w_sorted = jnp.stack(sorted_cols[1:], axis=-1)
     added = pillar_sum_scatter_pallas(w_sorted, sidx, segs, plan=plan)
-    return base + added.reshape(b, n_rows, 3).astype(base.dtype)
+    return added.reshape(b, n_rows, lanes).astype(w.dtype)
+
+
+def _scatter_rows(base, i, w):
+    """base[b].at[i[b]].add(w[b]) with out-of-range drop (see _scatter_lanes)."""
+    return base + _scatter_lanes(i, w, base.shape[1]).astype(base.dtype)
+
+
+def _mirror_payload(g, masked_g_rows, pts):
+    """Payload lanes for the GATHER-FREE mirror scatter term.
+
+    Scattering ``-w = -2g_j (q_j - p[i_j])`` at rows ``i_j`` needs a gather
+    of ``p`` at ``i`` only to subtract it back at its own row — algebra
+    removes it: scatter ``(-2g_j·q_j, 2g_j)`` as 4 payload lanes and add
+    ``p · (scattered g-sum)`` elementwise afterwards.  Kills one
+    descriptor-bound [B·N]-row gather per term (~5-6 ms each at 4x98304 on
+    v5e) at the cost of one extra (free) scatter lane."""
+    gm = jnp.where(masked_g_rows, 2.0 * g, 0.0)
+    return jnp.concatenate([-gm[..., None] * pts, gm[..., None]], axis=-1)
 
 
 def _chamfer_nn_grid_bwd(spec, res, cts):
-    """Matched-pair subgradient (the CUDA extension autograd), batched."""
+    """Matched-pair subgradient (the CUDA extension autograd), batched.
+
+    The own-row terms ``w = 2g (p - q*[i])`` need the neighbor gather; the
+    MIRROR terms (scattered into the other cloud) do not — they ride the
+    gather-free 4-lane form (see :func:`_mirror_payload`).  d_pc0/d_pc1 stay
+    separate scatter calls so XLA dead-code-eliminates an unused direction
+    (SeFlow only differentiates the warped side)."""
     pc0, pc1, mask0, mask1, i0, i1 = res
     g0, g1, _, _ = cts
 
@@ -461,8 +489,12 @@ def _chamfer_nn_grid_bwd(spec, res, cts):
     diff1 = jnp.where(both1, pc1 - _take_rows(pc0, i1), 0.0)
     w0 = (2.0 * g0)[..., None] * diff0
     w1 = (2.0 * g1)[..., None] * diff1
-    d_pc0 = _scatter_rows(w0, i1, -w1)
-    d_pc1 = _scatter_rows(w1, i0, -w0)
+    s0 = _scatter_lanes(i1, _mirror_payload(g1, both1[..., 0], pc1),
+                        pc0.shape[1])
+    s1 = _scatter_lanes(i0, _mirror_payload(g0, both0[..., 0], pc0),
+                        pc1.shape[1])
+    d_pc0 = w0 + s0[..., :3] + pc0 * s0[..., 3:]
+    d_pc1 = w1 + s1[..., :3] + pc1 * s1[..., 3:]
     zero_m0 = jnp.zeros(mask0.shape, dtype=jax.dtypes.float0)
     zero_m1 = jnp.zeros(mask1.shape, dtype=jax.dtypes.float0)
     return d_pc0, d_pc1, zero_m0, zero_m1
@@ -524,9 +556,19 @@ def _ssl_nn_bwd(spec, res, cts):
     """Matched-pair subgradients of all four distance sets (the brute
     extension's autograd, extended to the dynamic-only terms).
 
-    The dynamic (f) terms run COMPACTED to ``spec.dyn_cap`` rows: their
-    gathers/scatters are descriptor-bound (~cost per ROW regardless of row
-    bytes), and only flagged rows carry nonzero gradient."""
+    Only the OWN-ROW terms ``2g (p - q*[i])`` gather the matched neighbor;
+    the mirror terms scattered into the other cloud are gather-free (4-lane
+    payload + elementwise g-sum correction, :func:`_mirror_payload`) — that
+    removes two descriptor-bound [B·N]-row gathers per live direction.
+    Each direction still rides ONE sorted segment-sum (the kernel cost is
+    the [B·N, 128-lane] output write), and d_pc0/d_pc1 stay SEPARATE calls
+    on purpose: in SeFlow training only the warped-pc0 side carries
+    gradient, and XLA dead-code-eliminates the unused direction entirely
+    (measured: the pre-merge trace shows only one direction's pipeline).
+
+    The dynamic (f) terms optionally run COMPACTED to ``spec.dyn_cap`` rows:
+    their gathers/scatters are descriptor-bound (~cost per ROW regardless of
+    row bytes), and only flagged rows carry nonzero gradient."""
     pc0, pc1, m0, m1, f0, f1, i0a, i1a, i0f, i1f = res
     g0a, g1a, g0f, g1f = cts[:4]
 
@@ -540,16 +582,15 @@ def _ssl_nn_bwd(spec, res, cts):
     anyf0 = jnp.any(m0 & f0, axis=-1, keepdims=True)
     w0a = w_term(g0a, pc0, pc1, i0a, m0 & any1)
     w1a = w_term(g1a, pc1, pc0, i1a, m1 & any0)
+    p1a = _mirror_payload(g1a, m1 & any0, pc1)
+    p0a = _mirror_payload(g0a, m0 & any1, pc0)
 
     n, m = pc0.shape[1], pc1.shape[1]
     cap0 = _dyn_cap_for(spec, n)
     cap1 = _dyn_cap_for(spec, m)
+    glane0 = lambda w: jnp.concatenate(
+        [w, jnp.zeros(w.shape[:-1] + (1,), w.dtype)], axis=-1)
     if cap0 < n or cap1 < m:
-        # Each direction's three scatter-adds ride ONE sorted segment-sum.
-        # d_pc0 and d_pc1 stay SEPARATE calls on purpose: in SeFlow
-        # training only the warped-pc0 side carries gradient, and XLA
-        # dead-code-eliminates the whole unused direction (measured: the
-        # pre-merge trace shows only one direction's scatter pipeline).
         tr = lambda x, i: jnp.take_along_axis(x, i, axis=1)
         s0 = _compact_idx(m0 & f0, cap0)
         s1 = _compact_idx(m1 & f1, cap1)
@@ -557,25 +598,29 @@ def _ssl_nn_bwd(spec, res, cts):
                      tr(m0 & f0, s0) & anyf1)
         w1f = w_term(tr(g1f, s1), _take_rows(pc1, s1), pc0, tr(i1f, s1),
                      tr(m1 & f1, s1) & anyf0)
-        d_pc0 = _scatter_rows(
-            w0a, jnp.concatenate([i1a, s0, tr(i1f, s1)], axis=1),
-            jnp.concatenate([-w1a, w0f, -w1f], axis=1))
-        d_pc1 = _scatter_rows(
-            w1a, jnp.concatenate([i0a, s1, tr(i0f, s0)], axis=1),
-            jnp.concatenate([-w0a, w1f, -w0f], axis=1))
+        p1f = _mirror_payload(tr(g1f, s1), tr(m1 & f1, s1) & anyf0,
+                              _take_rows(pc1, s1))
+        p0f = _mirror_payload(tr(g0f, s0), tr(m0 & f0, s0) & anyf1,
+                              _take_rows(pc0, s0))
+        su0 = _scatter_lanes(
+            jnp.concatenate([i1a, s0, tr(i1f, s1)], axis=1),
+            jnp.concatenate([p1a, glane0(w0f), p1f], axis=1), n)
+        su1 = _scatter_lanes(
+            jnp.concatenate([i0a, s1, tr(i0f, s0)], axis=1),
+            jnp.concatenate([p0a, glane0(w1f), p0f], axis=1), m)
+        d_pc0 = w0a + su0[..., :3] + pc0 * su0[..., 3:]
+        d_pc1 = w1a + su1[..., :3] + pc1 * su1[..., 3:]
     else:
         w0f = w_term(g0f, pc0, pc1, i0f, (m0 & f0) & anyf1)
         w1f = w_term(g1f, pc1, pc0, i1f, (m1 & f1) & anyf0)
-        # ONE scatter per direction (indices/payloads concatenated): the
-        # kernel's cost is dominated by the [B·N, 128-lane] output write
-        # (~4.45 ms at 4x98304), so two passes per direction paid that
-        # twice.  d_pc0/d_pc1 stay SEPARATE calls on purpose — in SeFlow
-        # only the warped side carries gradient and XLA dead-code-
-        # eliminates the unused direction entirely.
-        d_pc0 = _scatter_rows(w0a + w0f, jnp.concatenate([i1a, i1f], axis=1),
-                              jnp.concatenate([-w1a, -w1f], axis=1))
-        d_pc1 = _scatter_rows(w1a + w1f, jnp.concatenate([i0a, i0f], axis=1),
-                              jnp.concatenate([-w0a, -w0f], axis=1))
+        p1f = _mirror_payload(g1f, (m1 & f1) & anyf0, pc1)
+        p0f = _mirror_payload(g0f, (m0 & f0) & anyf1, pc0)
+        su0 = _scatter_lanes(jnp.concatenate([i1a, i1f], axis=1),
+                             jnp.concatenate([p1a, p1f], axis=1), n)
+        su1 = _scatter_lanes(jnp.concatenate([i0a, i0f], axis=1),
+                             jnp.concatenate([p0a, p0f], axis=1), m)
+        d_pc0 = w0a + w0f + su0[..., :3] + pc0 * su0[..., 3:]
+        d_pc1 = w1a + w1f + su1[..., :3] + pc1 * su1[..., 3:]
     zeros = [jnp.zeros(x.shape, dtype=jax.dtypes.float0)
              for x in (res[2], res[3], res[4], res[5])]
     return (d_pc0, d_pc1, *zeros)

@@ -435,23 +435,18 @@ def _scatter_lanes(i, w, n_rows):
         return jax.vmap(lambda ii, ww: zeros[0].at[ii].add(ww, mode="drop"))(
             i, w)
     from deflow_tpu.ops.pallas_scatter import (
-        CHUNK, TILE_P, ScatterPlan, _round_up, pillar_sum_scatter_pallas)
+        TILE_S, _round_up, segment_sum_lanes_pallas)
 
     segs = b * n_rows
-    sentinel = _round_up(segs, TILE_P) + 1
+    sentinel = _round_up(segs, TILE_S) + 1
     off = (jnp.arange(b, dtype=jnp.int32) * n_rows)[:, None]
     flat_i = jnp.where((i >= 0) & (i < n_rows), i + off,
                        sentinel).reshape(b * m)
     wf = w.reshape(b * m, lanes).astype(jnp.float32)
     sorted_cols = jax.lax.sort(
         (flat_i,) + tuple(wf[:, k] for k in range(lanes)), num_keys=1)
-    sidx = sorted_cols[0]
-    n_pad = _round_up(b * m, CHUNK)
-    sorted_pid = jnp.pad(sidx, (0, n_pad - b * m), constant_values=sentinel)
-    plan = ScatterPlan(sidx, None, sorted_pid.astype(jnp.int32))
-    w_sorted = jnp.stack(sorted_cols[1:], axis=-1)
-    added = pillar_sum_scatter_pallas(w_sorted, sidx, segs, plan=plan)
-    return added.reshape(b, n_rows, lanes).astype(w.dtype)
+    added = segment_sum_lanes_pallas(sorted_cols[1:], sorted_cols[0], segs)
+    return jnp.moveaxis(added.reshape(lanes, b, n_rows), 0, -1).astype(w.dtype)
 
 
 def _scatter_rows(base, i, w):

@@ -19,8 +19,10 @@ def interpret_mode(monkeypatch):
                         lambda *a, **k: orig(*a, **{**k, "interpret": True}))
     # clear the jit cache of the wrapped call so interpret takes effect
     ps._sorted_scatter.clear_cache()
+    ps.segment_sum_lanes_pallas.clear_cache()
     yield
     ps._sorted_scatter.clear_cache()
+    ps.segment_sum_lanes_pallas.clear_cache()
 
 
 def test_matches_segment_sum():
@@ -174,3 +176,31 @@ def test_bf16_path_matches_segment_sum():
     # exact-zero empties
     empty = ~(np.abs(want).sum(1) > 0)
     assert np.all(got[empty] == 0)
+
+
+def test_segment_sum_lanes_matches_segment_sum():
+    """Dense-lane variant (chamfer-VJP scatter) vs segment_sum golden,
+    including sentinel rows, empty segments and duplicate-heavy ids."""
+    rng = np.random.default_rng(7)
+    n, segs, lanes = 4096, 1500, 4
+    pid = np.sort(rng.integers(0, segs + 9, n)).astype(np.int32)  # > segs: drop
+    vals = rng.normal(size=(lanes, n)).astype(np.float32)
+
+    got = np.asarray(ps.segment_sum_lanes_pallas(
+        tuple(jnp.asarray(v) for v in vals), jnp.asarray(pid), segs))
+    safe = np.clip(pid, 0, segs)
+    want = np.stack([
+        np.asarray(jax.ops.segment_sum(
+            jnp.asarray(np.where(pid <= segs, v, 0.0)),
+            jnp.asarray(safe), num_segments=segs + 1))[:segs]
+        for v in vals])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_lanes_single_lane_all_one_segment():
+    pid = np.zeros(600, np.int32)
+    vals = (jnp.ones((600,), jnp.float32),)
+    got = np.asarray(ps.segment_sum_lanes_pallas(vals, jnp.asarray(pid), 300))
+    assert got.shape == (1, 300)
+    np.testing.assert_allclose(got[0, 0], 600.0, rtol=1e-6)
+    np.testing.assert_allclose(got[0, 1:], 0.0)

@@ -331,32 +331,40 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     bn = qc.sid.shape[0]
     b = bn // qc.n
     nq_pad = -(-bn // CHUNK_Q) * CHUNK_Q
+    # flat cells per sample (incl. the gap row): sid // kgap = sample index.
+    # w = sample·wstep is the kernel's 4th coordinate — Δw = 0 exactly
+    # within a sample, Δw² ≥ (ring·cell)² across (cross-sample pairs lose
+    # everywhere the exactness contract speaks), and the ±2e19 masked/
+    # padding sentinels overflow d to inf (pallas_sweep module docstring).
+    kgap = qc.c_total // b
+    wstep = jnp.float32(max(1000.0, math.ceil(spec.ring * spec.cell * 2.0)))
 
-    # ---- query slab [NQ_pad, 8]: x, y, z, row, col (exact small floats)
+    # ---- query slab [NQ_pad, 8]: x, y, z, w
     sid_pad = jnp.pad(qc.sid, (0, nq_pad - bn), constant_values=qc.c_total)
-    qrow = (sid_pad // gx).astype(jnp.float32)
-    qcol = (sid_pad % gx).astype(jnp.float32)
+    qw = jnp.where(sid_pad >= qc.c_total, jnp.float32(2e19),
+                   (sid_pad // kgap).astype(jnp.float32) * wstep)
     zero_q = jnp.zeros((nq_pad,), jnp.float32)
     padf = lambda v: jnp.pad(v, (0, nq_pad - bn))
     q_slab = jnp.stack([padf(qc.sx), padf(qc.sy), padf(qc.sz),
-                        qrow, qcol, zero_q, zero_q, zero_q], axis=1)
+                        qw, zero_q, zero_q, zero_q, zero_q], axis=1)
 
     # ---- candidate slab [NC_chunks, 8, CHUNK_C], coordinate-major planes
     nc = cc.sid.shape[0]
     nc_pad = -(-nc // CHUNK_C) * CHUNK_C
     ncc = nc_pad // CHUNK_C
-    crow = (cc.sid // gx).astype(jnp.float32)
-    ccol = (cc.sid % gx).astype(jnp.float32)
+    ckgap = cc.c_total // b
+    cw = jnp.where(cc.sid >= cc.c_total, jnp.float32(-2e19),
+                   (cc.sid // ckgap).astype(jnp.float32) * wstep)
+    fpen = jnp.where(cc.sflag > 0.5, 0.0, _BIG)
     corig = (cc.sglobal.astype(jnp.int32) % cc.n).astype(jnp.float32)
-    far = jnp.float32(cc.c_total // gx + 4)    # padding rows: unreachable row
     lanes = [
         jnp.pad(cc.sx, (0, nc_pad - nc)),
         jnp.pad(cc.sy, (0, nc_pad - nc)),
         jnp.pad(cc.sz, (0, nc_pad - nc)),
-        jnp.pad(cc.sflag, (0, nc_pad - nc)),
-        jnp.pad(crow, (0, nc_pad - nc), constant_values=far),
-        jnp.pad(ccol, (0, nc_pad - nc)),
+        jnp.pad(cw, (0, nc_pad - nc), constant_values=jnp.float32(-2e19)),
+        jnp.pad(fpen, (0, nc_pad - nc), constant_values=_BIG),
         jnp.pad(corig, (0, nc_pad - nc), constant_values=-1.0),
+        jnp.zeros((nc_pad,), jnp.float32),
         jnp.zeros((nc_pad,), jnp.float32),
     ]
     c_slab = jnp.concatenate(

@@ -14,22 +14,34 @@ cost centers are XLA lowering artifacts, not algorithmic:
 This kernel keeps the candidates as ONE sorted flat array and sweeps it:
 
 1. both clouds are payload-sorted by a flat cell id with a GAP ROW per
-   sample (stride ``(gy+1)·gx``), so ring membership is an exact per-pair
-   test ``|Δrow| ≤ 1 & |Δcol| ≤ 1`` on precomputed row/col lanes — sample
-   isolation (gap row ⇒ cross-sample Δrow ≥ 2) and x-edge exactness (no
-   wrap-around false candidates) fall out for free, and there is NO per-cell
-   capacity: the kernel is exact below ``ring·cell`` with no overflow drops
-   (the XLA backend's ``capacity=128`` caveat disappears on this path);
-2. a chunk of ``CHUNK_Q`` consecutive sorted queries spans a contiguous cell
-   range [qmin, qmax]; its ring is THREE contiguous candidate-row spans
-   (rows qmin−gx−1…qmax−gx+1 / ±0 / +gx), found by searchsorted outside the
-   kernel and passed as scalar-prefetch chunk ranges;
+   sample (stride ``(gy+1)·gx``), so a chunk of ``CHUNK_Q`` consecutive
+   sorted queries spans a contiguous cell range [qmin, qmax] whose 3×3 ring
+   is THREE contiguous candidate-row spans (rows qmin−gx−1…qmax−gx+1 / ±0 /
+   +gx), found by searchsorted outside the kernel and passed as
+   scalar-prefetch chunk ranges.  There is NO per-cell capacity: the kernel
+   is exact below ``ring·cell`` with no overflow drops (the XLA backend's
+   ``capacity=128`` caveat disappears on this path);
+2. candidate VALIDITY is folded into the DISTANCE, not tested per pair
+   (the v1 kernel's ``|Δrow| ≤ 1 & |Δcol| ≤ 1`` ring/sample test cost 8 of
+   its 22 full-width VPU passes per candidate chunk): a 4th coordinate lane
+   ``w = sample·1000`` (exact small floats; masked/padding rows ``∓2e19``)
+   makes cross-sample and padding pairs lose by construction (``Δw² ≥ 1e6``
+   ≥ truncate², same-sample ``Δw = 0`` exactly so in-ring distances are
+   bit-identical), while ring-overreach candidates admitted by the window
+   spans (|Δcol| ≥ 2, row wraps) carry REAL coordinates at least one cell
+   away — their ``d ≥ cell² ≥ truncate²`` can only tighten the reported
+   min toward the true NN, never below ``ring·cell`` when the true NN is
+   farther (truncated chamfer and its matched-pair VJP are unchanged: the
+   loss clips at ``t2 ≤ cell²`` and g = 0 there);
 3. the kernel DMAs ``[8, CHUNK_C]`` candidate blocks (coordinate-major lanes:
-   x/y/z/flag/row/col/orig-row planes) HBM→VMEM with the 3-slot rotation the
-   scatter/gather kernels use, and tracks per-query running
+   x/y/z/w/flag-penalty/orig-row planes) HBM→VMEM with the 3-slot rotation
+   the scatter/gather kernels use, and tracks per-query running
    (min d², argmin orig row) — plus the flag-restricted pair for the fused
-   dual-mask SSL loss — entirely on the VPU in f32 (no MXU, no precision
-   caveats).
+   dual-mask SSL loss, whose flag select is likewise precomputed as an
+   additive penalty lane (``d_flag = d + fpen``, ``fpen ∈ {0, 3e38}`` —
+   adding 0.0 is exact, and ``d + 3e38`` rounds to ≥ the ``_BIG`` no-
+   candidate sentinel) — entirely on the VPU in f32 (no MXU, no precision
+   caveats).  16 full-width VPU passes per [CHUNK_Q, CHUNK_C] block.
 
 Total HBM traffic ≈ (一 sweep of the candidate slab per ~gx query chunks)
 ≈ 100 MB/direction vs 7.2 GB of ring-row gathers — and the span-table while
@@ -56,11 +68,12 @@ CHUNK_Q = int(os.environ.get("DEFLOW_SWEEP_CHUNK_Q", 256))  # queries/grid step
 CHUNK_C = int(os.environ.get("DEFLOW_SWEEP_CHUNK_C", 256))  # cand rows/DMA
 _BIG = 3.0e38
 
-# candidate slab lane order (coordinate-major planes)
-_CX, _CY, _CZ, _CFLAG, _CROW, _CCOL, _CORIG = range(7)
+# candidate slab lane order (coordinate-major planes); w = sample-isolation
+# coordinate, fpen = additive dual-mask penalty (0 flagged / _BIG not)
+_CX, _CY, _CZ, _CW, _CFPEN, _CORIG = range(6)
 _CLANES = 8
 # query slab lane order
-_QX, _QY, _QZ, _QROW, _QCOL = range(5)
+_QX, _QY, _QZ, _QW = range(4)
 _QLANES = 8
 
 
@@ -113,21 +126,19 @@ def _make_kernel(dual: bool):
         qx = q_ref[:, _QX:_QX + 1]
         qy = q_ref[:, _QY:_QY + 1]
         qz = q_ref[:, _QZ:_QZ + 1]
-        qrow = q_ref[:, _QROW:_QROW + 1]
-        qcol = q_ref[:, _QCOL:_QCOL + 1]
+        qw = q_ref[:, _QW:_QW + 1]
 
         def contrib(s, carry):
             cb = wbuf[s]                                   # [8, CHUNK_C]
             dx = qx - cb[_CX:_CX + 1, :]                   # [CHUNK_Q, CHUNK_C]
             dy = qy - cb[_CY:_CY + 1, :]
             dz = qz - cb[_CZ:_CZ + 1, :]
-            d = dx * dx + dy * dy + dz * dz
-            # exact ring + sample test on precomputed row/col lanes (small
-            # exact ints in f32; the per-sample gap row makes cross-sample
-            # Δrow ≥ 2, and the col test kills x-edge wraps)
-            ok = (jnp.abs(qrow - cb[_CROW:_CROW + 1, :]) <= 1.0) & \
-                 (jnp.abs(qcol - cb[_CCOL:_CCOL + 1, :]) <= 1.0)
-            da = jnp.where(ok, d, _BIG)
+            dw = qw - cb[_CW:_CW + 1, :]
+            # the w lane IS the validity test: Δw = 0 exactly for same-
+            # sample pairs (sum grouping keeps d bit-identical to 3-D),
+            # ≥ 1000 across samples, overflow-to-inf against masked/padding
+            # rows (see module docstring)
+            da = dx * dx + dy * dy + dz * dz + dw * dw
             crow = cb[_CORIG:_CORIG + 1, :]
 
             def best_of(dm, b, bi):
@@ -140,8 +151,7 @@ def _make_kernel(dual: bool):
             ba, bia, bf, bif = carry
             ba, bia = best_of(da, ba, bia)
             if dual:
-                df = jnp.where(cb[_CFLAG:_CFLAG + 1, :] > 0.5, da, _BIG)
-                bf, bif = best_of(df, bf, bif)
+                bf, bif = best_of(da + cb[_CFPEN:_CFPEN + 1, :], bf, bif)
             return ba, bia, bf, bif
 
         def body(t, carry):
@@ -178,10 +188,12 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
 
     Args:
         q_slab: [NQ_pad, 8] f32, NQ_pad % CHUNK_Q == 0 — sorted queries,
-            lanes (x, y, z, row, col, …); row/col are the flat grid row and
-            column as exact small floats (sentinel queries: row far outside).
+            lanes (x, y, z, w, …); w is the sample-isolation coordinate
+            (sample·1000 as exact small floats; masked/sentinel: +2e19).
         c_slab: [NC_chunks, 8, CHUNK_C] f32 — sorted candidates, coordinate-
-            major planes (x, y, z, flag, row, col, orig_row).
+            major planes (x, y, z, w, fpen, orig_row); w as above with
+            masked/padding rows −2e19, fpen = 0 where dual-flagged else
+            ``_BIG``.
         cs: [NQ_pad/CHUNK_Q, 3] i32 — per query chunk, candidate-chunk start
             index of each ring-row window.
         cn: [NQ_pad/CHUNK_Q, 3] i32 — candidate-chunk count per window.

@@ -198,6 +198,25 @@ def test_sweep_totally_empty_candidates(interpret_pallas):
     assert np.all(np.asarray(d1) == 0.0)       # masked rows zeroed
 
 
+def test_sweep_sample_isolation_large_radius(interpret_pallas):
+    """The sample-isolation w step scales with ring·cell: identical
+    coordinates in different samples must not match even when the exactness
+    radius is far larger than the default 1000 m step floor would need."""
+    from deflow_tpu.ops.chamfer import chamfer_distance
+
+    spec = NNSpec(method="grid", cell=2500.0, ring=1,
+                  lo=(-5000.0, -5000.0), hi=(5000.0, 5000.0))
+    pts = np.random.default_rng(9).uniform(
+        -4000, 4000, (96, 3)).astype(np.float32)
+    q0 = pts + np.float32([9000.0, 0.0, 0.0])   # sample 0: true NN far
+    d0, _ = chamfer_distance(
+        jnp.asarray(np.stack([pts, pts])),
+        jnp.asarray(np.stack([q0, pts])),       # sample 1 would match at 0
+        spec=spec)
+    # a cross-sample leak would report ~0 for sample 0's queries
+    assert float(jnp.min(d0[0])) > 1e4
+
+
 def test_sweep_duplicate_and_single_points(interpret_pallas):
     """Exact duplicates match at distance 0; a single valid point per sample
     still resolves (the chunk machinery handles 1-row spans)."""

@@ -157,10 +157,16 @@ def main():
         lambda: chamfer_distance(jp, jq, jfp, jfq, spec=spec))())
     all_ok = np.array_equal(da0, ds0) and np.array_equal(da1, ds1)
     if on_tpu:
-        # same kernel, same arithmetic: the fused dual-mask sweep must be
-        # BIT-equal to the separate dyn-only call
-        dyn_ok = (np.array_equal(df0[f_p & pm], dd0[f_p & pm])
-                  and np.array_equal(df1[f_q & qm], dd1[f_q & qm]))
+        # same kernel, same arithmetic: below the coverage radius the fused
+        # dual-mask track and the separate dyn-only call see the identical
+        # flagged candidate set, so TRUNCATED distances must be BIT-equal.
+        # Beyond the radius the two sorted layouts admit different window-
+        # overreach candidates (both ≥ radius² — the truncated loss cannot
+        # observe them), so raw values legitimately differ there.
+        clip = lambda d: np.minimum(d, radius2)
+        dyn_ok = (np.array_equal(clip(df0[f_p & pm]), clip(dd0[f_p & pm]))
+                  and np.array_equal(clip(df1[f_q & qm]),
+                                     clip(dd1[f_q & qm])))
     else:
         # fallback capacity interplay: in the fused call dynamic candidates
         # share per-cell slots with static ones, so the fused dyn distances

@@ -194,6 +194,13 @@ class DynamicEmbedder(nn.Module):
             axis=-1)
         fsums = segment_sum_batched(fdata, ids_s, cfg.num_pillars + TRASH_PAD, pre)
         c = point_feats_s.shape[-1]
-        pillar_feats = (fsums[:, : cfg.num_pillars, :c]
-                        / jnp.maximum(fsums[:, : cfg.num_pillars, c:], 1.0))
+        # stop_gradient on the count denominator: its cotangent is
+        # structurally DEAD (it flows back only into the bool→float cast of
+        # valid_s, which has no tangent) yet XLA materialized ~4.4 ms/step
+        # of max-VJP tie-handling selects + [B, P, 1] lane-padded buffers
+        # (256 MB physical each) and count-lane cotangent merges for it.
+        # Live gradients (g / den into the feature lanes) are bit-identical.
+        den = jax.lax.stop_gradient(
+            jnp.maximum(fsums[:, : cfg.num_pillars, c:], 1.0))
+        pillar_feats = fsums[:, : cfg.num_pillars, :c] / den
         return _table_to_image(pillar_feats, cfg)

@@ -159,19 +159,23 @@ def _pack(sorted_feats, sorted_pid, n, n_pad, c, c_pad):
 
     Built with ONE lane-concatenate: ``.at[:, lane].set`` lowers to a full
     [n_pad, 128] dynamic-update-slice pass PER LANE (~0.85 ms each at 524k
-    rows on v5e — measured as ~8 ms of pure slab rewrites per step)."""
+    rows on v5e — measured as ~8 ms of pure slab rewrites per step).  The
+    bf16 digits are likewise ONE [n, 3] expression: three separate [n, 1]
+    columns each tile-pad to 128 physical lanes (XLA materialized them as a
+    3-output kLoop fusion = 3×100 MB of padded writes at 393k rows)."""
     dtype = sorted_feats.dtype
     bf16 = dtype == jnp.bfloat16
     id_width = 3 if bf16 else 1
     pid32 = sorted_pid.astype(jnp.int32)
     if bf16:
-        digits = [(pid32 // 16384).astype(dtype),
-                  ((pid32 // 128) % 128).astype(dtype),
-                  (pid32 % 128).astype(dtype)]
+        # base-128 digits, most significant first; pid < 2^21 so the top
+        # digit needs no % (ids are nonnegative: sentinel = segs-pad + 1)
+        div = jnp.asarray([16384, 128, 1], jnp.int32)
+        digits = [((pid32[:, None] // div) % 128).astype(dtype)]
     else:
-        digits = [pid32.astype(dtype)]
+        digits = [pid32.astype(dtype)[:, None]]
     sf = jnp.pad(sorted_feats, ((0, n_pad - n), (0, 0)))
-    parts = [sf] + [d[:, None] for d in digits]
+    parts = [sf] + digits
     if c + id_width <= c_pad and c_pad == LANE:
         tail = c_pad - c - id_width
         if tail:

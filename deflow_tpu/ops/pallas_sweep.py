@@ -62,10 +62,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-# Swept on v5e (BENCH_LOSS=seflowLoss): (256, 256) is the shipped default.
+# Swept on v5e (standalone _ssl_nn @4x98304, v2 16-pass kernel): CHUNK_C
+# (256→512) is fwd 25.19→22.85 ms uniform / 37.1→29.8 skewed (the dense
+# regime is DMA-per-block bound; 512-row blocks halve the fixed cost),
+# 1024 tips back (25.6 — window rows quantize up); CHUNK_Q 512 loses badly
+# (29.7), 128 loses (24.1 grad-side).  (256, 512) is the shipped default.
 # Env knobs exist for sweeps only — the caller's slab/window layout adapts.
 CHUNK_Q = int(os.environ.get("DEFLOW_SWEEP_CHUNK_Q", 256))  # queries/grid step
-CHUNK_C = int(os.environ.get("DEFLOW_SWEEP_CHUNK_C", 256))  # cand rows/DMA
+CHUNK_C = int(os.environ.get("DEFLOW_SWEEP_CHUNK_C", 512))  # cand rows/DMA
 _BIG = 3.0e38
 
 # candidate slab lane order (coordinate-major planes); w = sample-isolation

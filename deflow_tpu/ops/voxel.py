@@ -335,7 +335,8 @@ def pillar_centroids(
     data = jnp.concatenate([info.points, ones[:, None]], axis=-1)  # [N, 4]
     sums = _segment_sum(data, info.pillar_id, cfg.num_pillars + TRASH_PAD)  # [P+1, 4]
     counts = sums[:, 3]
-    centroid = sums[:, :3] / jnp.maximum(counts, 1.0)[:, None]
+    centroid = sums[:, :3] / jax.lax.stop_gradient(
+        jnp.maximum(counts, 1.0))[:, None]  # count cotangent dead at bool cast
     per_point_centroid = centroid[info.pillar_id]
     cluster = jnp.where(info.valid[:, None], info.points - per_point_centroid, 0.0)
     per_point_count = counts[info.pillar_id]
@@ -377,9 +378,8 @@ def pillar_mean_scatter(
     ones = info.valid.astype(feats.dtype)
     data = jnp.concatenate([feats, ones[:, None]], axis=-1)
     sums = _segment_sum(data, info.pillar_id, cfg.num_pillars + TRASH_PAD)
-    pillar_feats = sums[: cfg.num_pillars, :c] / jnp.maximum(
-        sums[: cfg.num_pillars, c:], 1.0
-    )
+    pillar_feats = sums[: cfg.num_pillars, :c] / jax.lax.stop_gradient(
+        jnp.maximum(sums[: cfg.num_pillars, c:], 1.0))
     return _table_to_image(pillar_feats, cfg)
 
 
@@ -409,7 +409,7 @@ def pillar_centroids_batched(
     sums = segment_sum_batched(data, info.pillar_id, cfg.num_pillars + TRASH_PAD, plan)
     counts = sums[..., 3].astype(jnp.float32)
     mean_off = (sums[..., :3].astype(jnp.float32)
-                / jnp.maximum(counts, 1.0)[..., None])
+                / jax.lax.stop_gradient(jnp.maximum(counts, 1.0))[..., None])
     per_point = _row_gather(
         jnp.concatenate([mean_off, counts[..., None]], axis=-1), info.pillar_id)
     cluster = jnp.where(
@@ -427,8 +427,8 @@ def pillar_mean_scatter_batched(
     ones = info.valid.astype(feats.dtype)
     data = jnp.concatenate([feats, ones[..., None]], axis=-1)
     sums = segment_sum_batched(data, info.pillar_id, cfg.num_pillars + TRASH_PAD, plan)
-    pillar_feats = sums[:, : cfg.num_pillars, :c] / jnp.maximum(
-        sums[:, : cfg.num_pillars, c:], 1.0)
+    pillar_feats = sums[:, : cfg.num_pillars, :c] / jax.lax.stop_gradient(
+        jnp.maximum(sums[:, : cfg.num_pillars, c:], 1.0))
     return _table_to_image(pillar_feats, cfg)
 
 

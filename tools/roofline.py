@@ -259,10 +259,16 @@ def analyze(out_dir: str, steps: int, top: int, tag: str,
             flop_ms = fl / (PEAK_TFLOPS * 1e12) * 1e3
             matched += tok in hlo.defs
         floor_ms = max(byte_ms, flop_ms)
+        # hand-written Pallas kernels surface as custom-calls whose target
+        # (e.g. gru_chain) often sits beyond the stored 140-char prefix —
+        # tag them so the compute/mem slack split classifies them right
+        kernel = " custom-call(" in name and not re.search(
+            r"_sorted_(scatter|gather)|segment_sum", name)
         rows.append({
             "ms": ms, "gb": gb, "floor_ms": floor_ms, "flop_ms": flop_ms,
             "excess_ms": ms - floor_ms,
             "bw_eff": min(floor_ms / ms, 1.0) if ms > 0 else 0.0,
+            "kernel": kernel,
             "op": name[:140],
         })
 
@@ -282,7 +288,8 @@ def analyze(out_dir: str, steps: int, top: int, tag: str,
 
     # ops whose floor is the MXU (or name a hand-written compute kernel) are
     # EXPECTED to sit above their byte floor
-    is_compute = lambda r: (r["flop_ms"] > 0.5 * r["floor_ms"] > 0) or re.search(
+    is_compute = lambda r: (r["flop_ms"] > 0.5 * r["floor_ms"] > 0) or r[
+        "kernel"] or re.search(
         r"convolution|dot|cell_sweep|gru_chain|cbg_chain", r["op"])
     sol = floor_total
     comp = sum(r["ms"] - r["floor_ms"] for r in rows if is_compute(r))

@@ -22,31 +22,53 @@ from deflow_tpu.utils import MetricLogger, StageTimer
 from deflow_tpu.entry.evaluate import run_validation
 
 
-def _warn_dyn_cap_overflow(host_batch: dict) -> None:
-    """One-time host-side dyn_cap validation on the first SSL batch: points
+class DynCapMonitor:
+    """Continuous host-side dyn_cap validation over EVERY SSL batch: points
     beyond an explicit compacted f-term budget (NNSpec.dyn_cap; default =
     no compaction) silently lose their dynamic-chamfer gradient, so a
-    denser-than-expected DUFO labeling should be loud, not a quiet
-    training-quality regression."""
-    import warnings
+    denser-than-expected DUFO labeling — even one appearing late in
+    training as scene mix shifts — should be loud, not a quiet
+    training-quality regression.  The per-batch cost is two numpy mask
+    reductions (~1 ms at bs=16); repeated warnings are deduped by only
+    re-warning when a batch sets a new running maximum.
 
-    from deflow_tpu.ops.chamfer import NNSpec, _dyn_cap_for
+    ``dyn_cap`` mirrors the resolution in ``losses.seflow_loss``: explicit
+    arg, else the ``DEFLOW_SSL_DYNCAP`` env override, else no compaction
+    (cap = N, which can never overflow — the monitor is then a no-op)."""
 
-    for side in ("0", "1"):
-        dufo = host_batch.get(f"dufo_label{side}")
-        mask = host_batch.get(f"pc{side}_mask")
-        if dufo is None or mask is None:
-            continue
-        counts = np.sum(np.asarray(mask) & (np.asarray(dufo) > 0), axis=-1)
-        cap = _dyn_cap_for(NNSpec(method="grid"), int(np.asarray(mask).shape[-1]))
-        if counts.max() > cap:
-            warnings.warn(
-                f"dufo_label{side}: up to {int(counts.max())} dynamic points "
-                f"per sample exceed the SSL dyn_cap budget ({cap}); the extra "
-                f"points lose their dynamic-chamfer gradient (forward loss "
-                f"unaffected). Raise NNSpec.dyn_cap / seflow_loss(dyn_cap=) "
-                f"or re-check DUFO label density "
-                f"(ops.chamfer.dyn_cap_overflow_stats).")
+    def __init__(self, dyn_cap: Optional[int] = None):
+        if dyn_cap is None:
+            env_cap = os.environ.get("DEFLOW_SSL_DYNCAP")
+            if env_cap is not None and int(env_cap):
+                dyn_cap = int(env_cap)
+        self.dyn_cap = dyn_cap
+        self._warned_max = 0
+        self.seen_max = 0
+
+    def check(self, host_batch: dict) -> None:
+        import warnings
+
+        from deflow_tpu.ops.chamfer import NNSpec, _dyn_cap_for
+
+        for side in ("0", "1"):
+            dufo = host_batch.get(f"dufo_label{side}")
+            mask = host_batch.get(f"pc{side}_mask")
+            if dufo is None or mask is None:
+                continue
+            counts = np.sum(np.asarray(mask) & (np.asarray(dufo) > 0), axis=-1)
+            cap = _dyn_cap_for(NNSpec(method="grid", dyn_cap=self.dyn_cap),
+                               int(np.asarray(mask).shape[-1]))
+            m = int(counts.max())
+            self.seen_max = max(self.seen_max, m)
+            if m > cap and m > self._warned_max:
+                self._warned_max = m
+                warnings.warn(
+                    f"dufo_label{side}: up to {m} dynamic points "
+                    f"per sample exceed the SSL dyn_cap budget ({cap}); the "
+                    f"extra points lose their dynamic-chamfer gradient "
+                    f"(forward loss unaffected). Raise NNSpec.dyn_cap / "
+                    f"seflow_loss(dyn_cap=) or re-check DUFO label density "
+                    f"(ops.chamfer.dyn_cap_overflow_stats).")
 
 
 def main(cfg: Optional[Config] = None) -> dict:
@@ -124,6 +146,7 @@ def main(cfg: Optional[Config] = None) -> dict:
         if monitor and val_ds is not None else None)
 
     epochs = int(cfg.epochs)
+    dyn_cap_monitor = DynCapMonitor()
     log_every = int(cfg.get("log_every", 10))
     profile_steps = int(cfg.get("profile", 0))  # >0: trace this many steps
     frames_seen = 0
@@ -139,8 +162,8 @@ def main(cfg: Optional[Config] = None) -> dict:
                 jax.profiler.stop_trace()
                 print(f"profile trace written to {logger.run_dir}/profile")
             global_it += 1
-            if is_ssl and global_it == 1 and "dufo_label0" in host_batch:
-                _warn_dyn_cap_overflow(host_batch)
+            if is_ssl and "dufo_label0" in host_batch:
+                dyn_cap_monitor.check(host_batch)
             with timer.stage("h2d"):
                 batch = T.device_batch(host_batch, mesh)
             with timer.stage("step"):

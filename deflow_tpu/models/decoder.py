@@ -183,37 +183,57 @@ class ConvGRUDecoder(nn.Module):
 
 class _TransformerDecoderLayer(nn.Module):
     """Post-norm torch ``nn.TransformerDecoderLayer`` twin (d_model=128, nhead=4,
-    ffn=2048, ReLU).  Dropout omitted: inference/eval parity is the target and
-    the ablation head is never the flagship training path."""
+    ffn=2048, ReLU, dropout=0.1 — the torch ctor defaults,
+    reference decoder.py:18).  Dropout sites mirror torch exactly: on the
+    attention weights inside each MHA, after each attention block
+    (dropout1/dropout2), after the FFN activation, and after the FFN output
+    (dropout3); all active only when ``train=True`` (needs a ``dropout``
+    RNG), so eval parity with the torch twin is bit-comparable.
+
+    ``key_mask`` [batch, kv] marks rows that are real points; padding rows
+    are excluded as attention KEYS so they cannot contaminate valid outputs.
+    """
 
     d_model: int = 128
     nhead: int = 4
     dim_feedforward: int = 2048
+    dropout: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
+                 key_mask: jnp.ndarray | None = None,
+                 train: bool = False) -> jnp.ndarray:
+        det = not train
+        mask = None if key_mask is None else key_mask[:, None, None, :]
+        drop = lambda z: nn.Dropout(self.dropout, deterministic=det)(z)
         sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dtype=self.dtype, name="self_attn"
-        )(tgt, tgt)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + sa)
+            num_heads=self.nhead, dtype=self.dtype,
+            dropout_rate=self.dropout, deterministic=det, name="self_attn"
+        )(tgt, tgt, mask=mask)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + drop(sa))
         ca = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, dtype=self.dtype, name="multihead_attn"
-        )(x, memory)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ca)
+            num_heads=self.nhead, dtype=self.dtype,
+            dropout_rate=self.dropout, deterministic=det, name="multihead_attn"
+        )(x, memory, mask=mask)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + drop(ca))
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
-        y = nn.relu(y)
+        y = drop(nn.relu(y))
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(x + drop(y))
 
 
 class MMHeadDecoder(nn.Module):
     """Transformer ablation head (reference decoder.py:6-70).
 
-    The reference runs a 4-layer TransformerDecoder over 512-point chunks
-    (SPLIT_BATCH_SIZE, decoder.py:6,47-51) purely to bound memory; here the
-    [B, N] buffer is reshaped to [B * N/512, 512, d] so all chunks run as one
-    batched attention — same per-chunk attention pattern, no Python loop.
+    The reference runs a 4-layer TransformerDecoder over 512-point chunks of
+    the COMPACTED valid set (SPLIT_BATCH_SIZE, decoder.py:6,47-51) — chunked
+    purely to bound memory.  Matching that on static shapes: a stable sort
+    moves valid rows to the front (original order preserved, so chunk
+    membership is identical to the reference's), all chunks run as one
+    batched attention, the single partial tail chunk masks its padding rows
+    as attention keys (same softmax support as torch's shorter last chunk),
+    and the outputs unsort back to dense [B, N] row order.
     """
 
     pseudoimage_channels: int = 64
@@ -234,14 +254,24 @@ class MMHeadDecoder(nn.Module):
         offset_feats = nn.Dense(128, dtype=self.dtype, name="offset_encoder")(info.offsets)
 
         b, n, d = voxel_feats.shape
+        # compact valid rows first (reference chunks the compacted valid set)
+        perm = jnp.argsort(jnp.logical_not(info.valid), axis=1, stable=True)
+        take = jax.vmap(lambda t, i: t[i])
+        vf = take(voxel_feats, perm)
+        of = take(offset_feats, perm)
+        active = jnp.arange(n)[None, :] < jnp.sum(info.valid, axis=1)[:, None]
+
         pad = (-n) % self.chunk
-        tgt = jnp.pad(voxel_feats, ((0, 0), (0, pad), (0, 0))).reshape(-1, self.chunk, d)
-        mem = jnp.pad(offset_feats, ((0, 0), (0, pad), (0, 0))).reshape(-1, self.chunk, d)
+        tgt = jnp.pad(vf, ((0, 0), (0, pad), (0, 0))).reshape(-1, self.chunk, d)
+        mem = jnp.pad(of, ((0, 0), (0, pad), (0, 0))).reshape(-1, self.chunk, d)
+        kmask = jnp.pad(active, ((0, 0), (0, pad))).reshape(-1, self.chunk)
 
         x = tgt
         for i in range(self.num_layers):
-            x = _TransformerDecoderLayer(dtype=self.dtype, name=f"layers_{i}")(x, mem)
+            x = _TransformerDecoderLayer(dtype=self.dtype, name=f"layers_{i}")(
+                x, mem, key_mask=kmask, train=train)
         x = x.reshape(b, n + pad, d)[:, :n]
+        x = take(x, jnp.argsort(perm, axis=1))         # unsort to dense order
 
         flow = FlowMLP(dtype=self.dtype, name="decoder")(x)
         return jnp.where(info.valid[..., None], flow, 0.0)

@@ -24,10 +24,12 @@ This kernel keeps the candidates as ONE sorted flat array and sweeps it:
 2. candidate VALIDITY is folded into the DISTANCE, not tested per pair
    (the v1 kernel's ``|Δrow| ≤ 1 & |Δcol| ≤ 1`` ring/sample test cost 8 of
    its 22 full-width VPU passes per candidate chunk): a 4th coordinate lane
-   ``w = sample·1000`` (exact small floats; masked/padding rows ``∓2e19``)
-   makes cross-sample and padding pairs lose by construction (``Δw² ≥ 1e6``
-   ≥ truncate², same-sample ``Δw = 0`` exactly so in-ring distances are
-   bit-identical), while ring-overreach candidates admitted by the window
+   ``w = sample·wstep`` with ``wstep = max(1000, 2·ring·cell)`` (exact small
+   floats, set by the producer chamfer._sweep_dir; masked/padding rows
+   ``∓2e19``) makes cross-sample and padding pairs lose by construction
+   (``Δw² ≥ (2·ring·cell)² > radius²`` — cross-sample pairs lose everywhere
+   the exactness contract speaks; same-sample ``Δw = 0`` exactly so in-ring
+   distances are bit-identical), while ring-overreach candidates admitted by the window
    spans (|Δcol| ≥ 2, row wraps) carry REAL coordinates at least one cell
    away — their ``d ≥ cell² ≥ truncate²`` can only tighten the reported
    min toward the true NN, never below ``ring·cell`` when the true NN is
@@ -193,7 +195,9 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
     Args:
         q_slab: [NQ_pad, 8] f32, NQ_pad % CHUNK_Q == 0 — sorted queries,
             lanes (x, y, z, w, …); w is the sample-isolation coordinate
-            (sample·1000 as exact small floats; masked/sentinel: +2e19).
+            (sample·wstep, wstep = max(1000, 2·ring·cell) — see
+            chamfer._sweep_dir — as exact small floats; masked/sentinel:
+            +2e19).
         c_slab: [NC_chunks, 8, CHUNK_C] f32 — sorted candidates, coordinate-
             major planes (x, y, z, w, fpen, orig_row); w as above with
             masked/padding rows −2e19, fpen = 0 where dual-flagged else

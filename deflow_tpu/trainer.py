@@ -158,13 +158,14 @@ def make_train_step(model, loss_name: str, remat: bool = False,
     if is_ssl:
         loss_fn = functools.partial(loss_fn, mesh=mesh)
 
-    def forward(params, batch_stats, pc0, pc1, pose0, pose1, m0, m1, ego,
-                host_prep=None, history=None):
+    def forward(params, batch_stats, dropout_key, pc0, pc1, pose0, pose1,
+                m0, m1, ego, host_prep=None, history=None):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             pc0, pc1, pose0, pose1, m0, m1,
             ego_motion=ego, train=True, mutable=["batch_stats"],
             host_prep=host_prep, history=history,
+            rngs={"dropout": dropout_key},
         )
 
     if remat:
@@ -175,9 +176,13 @@ def make_train_step(model, loss_name: str, remat: bool = False,
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         from deflow_tpu.data.host_prep import host_prep_from_batch
 
+        # step-derived dropout stream (only the mmhead ablation consumes it;
+        # torch default dropout=0.1, reference decoder.py:18)
+        dropout_key = jax.random.fold_in(jax.random.key(42), state.step)
+
         def compute_loss(params):
             out, mutated = forward(
-                params, state.batch_stats,
+                params, state.batch_stats, dropout_key,
                 batch["pc0"], batch["pc1"], batch["pose0"], batch["pose1"],
                 batch["pc0_mask"], batch["pc1_mask"],
                 batch.get("ego_motion"), host_prep_from_batch(batch),

@@ -3,6 +3,7 @@ compose and build a consistent model; plus submission-writer and visualizer
 smoke tests."""
 
 import os
+import pathlib
 import zipfile
 
 import numpy as np
@@ -44,13 +45,24 @@ def test_submission_zip(tmp_path):
     sweep points; columns ``is_valid`` bool + ``flow_tx_m/ty/tz_m`` float16.
 
     Expected per-frame counts are recomputed straight from the .h5 file, not
-    from the dataset's cropped view.
+    from the dataset's cropped view.  Column names, arrow dtypes, the entry
+    naming pattern and the row-selection rules come from the spec-derived
+    golden ``tests/golden/submission_schema.json`` (DATA, not code — the
+    writer and this test cannot drift together; VERDICT r4 #8).
     """
+    import json
+    import re
+
     from deflow_tpu.data import HDF5Dataset, make_split
     from deflow_tpu import trainer as T
     from deflow_tpu.entry.evaluate import write_submission
     import h5py
     import pandas as pd
+    import pyarrow.feather as paf
+
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "golden" /
+         "submission_schema.json").read_text())
 
     root = str(tmp_path)
     split = make_split(root, "test", num_scenes=1, num_frames=3,
@@ -85,26 +97,28 @@ def test_submission_zip(tmp_path):
         zip_path = write_submission(eval_step, state, ds, cfg, mesh,
                                     out_dir=str(tmp_path / "sub"),
                                     version=version)
+        spec = golden[f"v{version}"]
         with zipfile.ZipFile(zip_path) as zf:
             names = sorted(zf.namelist())
             assert len(names) == 2  # 3 frames -> 2 pairs
             for name in names:
+                assert re.match(golden["entry_name_pattern"], name), name
                 scene_id, fname = name.split("/")
                 ts = fname[: -len(".feather")]
                 assert scene_id == os.path.basename(scene)[: -len(".h5")]
                 n_raw, eval_mask = raw[ts]
                 with zf.open(name) as f:
-                    df = pd.read_feather(f)
-                if version == 1:
-                    assert list(df.columns) == [
-                        "flow_tx_m", "flow_ty_m", "flow_tz_m", "is_dynamic"]
-                    assert len(df) == int(eval_mask.sum())
-                    assert df["is_dynamic"].dtype == bool
-                else:
-                    assert list(df.columns) == [
-                        "is_valid", "flow_tx_m", "flow_ty_m", "flow_tz_m"]
-                    assert len(df) == n_raw
-                    assert df["is_valid"].dtype == bool
+                    tbl = paf.read_table(f)
+                # golden-pinned column names (in order) and arrow dtypes
+                assert tbl.column_names == [c["name"] for c in spec["columns"]]
+                assert [str(t) for t in tbl.schema.types] == [
+                    c["pyarrow_type"] for c in spec["columns"]]
+                df = tbl.to_pandas()
+                # golden-pinned row-selection rule
+                expected_rows = {"eval_mask_points": int(eval_mask.sum()),
+                                 "all_raw_sweep_points": n_raw}
+                assert len(df) == expected_rows[spec["row_selection"]]
+                if version == 2:
                     np.testing.assert_array_equal(
                         df["is_valid"].to_numpy(), eval_mask)
                 for c in ("flow_tx_m", "flow_ty_m", "flow_tz_m"):

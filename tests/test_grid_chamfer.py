@@ -298,3 +298,31 @@ def test_dyn_cap_overflow_stats():
     # default = N (no compaction: never overflows)
     mx, cap, frac = dyn_cap_overflow_stats(flags)
     assert cap == 100 and float(frac) == 0.0
+
+
+def test_dyn_cap_monitor_warns_on_late_spike():
+    """The trainer's continuous dyn_cap monitor (VERDICT r4 #7): a density
+    spike appearing only late in training still warns; repeated identical
+    batches do not spam; a new, higher maximum warns again."""
+    import warnings
+
+    from deflow_tpu.entry.train import DynCapMonitor
+
+    n, cap = 96, 32
+
+    def batch(k):
+        dufo = np.zeros((2, n), np.int8)
+        dufo[0, :k] = 1
+        return {"dufo_label0": dufo, "pc0_mask": np.ones((2, n), bool)}
+
+    mon = DynCapMonitor(dyn_cap=cap)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")          # under-cap batch: silence
+        mon.check(batch(cap))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mon.check(batch(cap + 5))               # late spike → warn
+        mon.check(batch(cap + 5))               # same max → deduped
+        mon.check(batch(cap + 9))               # new max → warn again
+    assert len(w) == 2 and all("dyn_cap" in str(x.message) for x in w)
+    assert mon.seen_max == cap + 9

@@ -213,8 +213,21 @@ def test_sweep_sample_isolation_large_radius(interpret_pallas):
         jnp.asarray(np.stack([pts, pts])),
         jnp.asarray(np.stack([q0, pts])),       # sample 1 would match at 0
         spec=spec)
-    # a cross-sample leak would report ~0 for sample 0's queries
-    assert float(jnp.min(d0[0])) > 1e4
+    # Exactness contract check against brute force, truncated at
+    # radius² = (ring·cell)² = 6.25e6: below radius the kernel is exact,
+    # above it may only overestimate (so both sides clip to radius²).
+    # A cross-sample leak with the UNSCALED 1000 m w-step would report
+    # 0 + 1000² = 1e6 — below radius² and below every true distance here
+    # (the 9000 m shift keeps all true NNs ≥ 1000 m, some < radius), so the
+    # truncated comparison catches a wstep >= 2·ring·cell scaling
+    # regression; the correctly scaled wstep = 5000 puts leaked pairs at
+    # 25e6, clipped away.
+    radius2 = (spec.ring * spec.cell) ** 2
+    brute = np.min(
+        ((pts[:, None, :] - q0[None, :, :]) ** 2).sum(-1), axis=1)
+    np.testing.assert_allclose(
+        np.minimum(np.asarray(d0[0]), radius2),
+        np.minimum(brute, radius2), rtol=1e-5)
 
 
 def test_sweep_duplicate_and_single_points(interpret_pallas):

@@ -142,14 +142,21 @@ def test_roundtrip_export_import(decoder):
 
 
 def test_forward_parity_mmhead():
-    """Transformer ablation head: chunk membership must match, so the cloud is
-    fully in-range with a point count that is a multiple of the 512 chunk."""
+    """Transformer ablation head on a RAGGED cloud: ~30% of points are
+    out-of-range (compacted away by the reference, masked here) and the
+    valid count is NOT a multiple of the 512 chunk — so chunk membership,
+    the partial tail chunk, and padding-key masking are all exercised
+    (reference decoder.py:47-51 chunks the compacted valid set)."""
     rng = np.random.default_rng(9)
     n = 2048
     pc0 = rng.uniform(-49, 49, size=(n, 3)).astype(np.float32)
     pc0[:, 2] = rng.uniform(-2.5, 2.5, size=n)
     pc1 = rng.uniform(-49, 49, size=(n, 3)).astype(np.float32)
     pc1[:, 2] = rng.uniform(-2.5, 2.5, size=n)
+    # scatter ~30% of pc0 far out of range, at positions interleaved with
+    # the valid ones (so compaction genuinely permutes rows)
+    out = rng.random(n) < 0.3
+    pc0[out, 0] += 500.0
     pose = np.eye(4, dtype=np.float32)
 
     tm = TorchDeFlow(decoder_option="mmhead", voxel_size=VOXEL,
@@ -171,8 +178,31 @@ def test_forward_parity_mmhead():
                      jnp.asarray(pose[None]), jnp.asarray(pose[None]),
                      jnp.ones((1, n), bool), jnp.ones((1, n), bool))
     valid = np.asarray(j_out["pc0_valid"][0])
-    assert valid.all(), "test requires fully in-range cloud"
-    j_flow = np.asarray(j_out["flow"][0])
-    t_flow = t_out["flow"].numpy()
+    np.testing.assert_array_equal(valid, t_out["valid0"].numpy())
+    nv = int(valid.sum())
+    assert 0 < nv < n and nv % 512 != 0, (
+        f"fixture must be ragged and non-chunk-aligned (got {nv}/{n})")
+    j_flow = np.asarray(j_out["flow"][0])[valid]          # dense → compacted
+    t_flow = t_out["flow"].numpy()                        # already compacted
+    assert j_flow.shape == t_flow.shape
     err = np.abs(j_flow - t_flow)
     assert err.max() < 1e-3, f"max |Δflow| = {err.max()}"
+
+
+def test_mmhead_train_dropout_active():
+    """train=True enables the torch-default 0.1 transformer dropout
+    (reference decoder.py:18): two dropout streams disagree, eval is
+    deterministic and dropout-free."""
+    tm, jm, variables, pc0, pc1, pose0, pose1 = _build_pair(
+        seed=5, n=1024, decoder="mmhead")
+    args = (jnp.asarray(pc0[None]), jnp.asarray(pc1[None]),
+            jnp.asarray(pose0[None]), jnp.asarray(pose1[None]),
+            jnp.ones((1, len(pc0)), bool), jnp.ones((1, len(pc1)), bool))
+    tr = lambda k: np.asarray(jm.apply(
+        variables, *args, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(k)})[0]["flow"])
+    a, b = tr(1), tr(2)
+    assert np.abs(a - b).max() > 1e-6, "dropout inactive in train mode"
+    e1 = np.asarray(jm.apply(variables, *args)["flow"])
+    e2 = np.asarray(jm.apply(variables, *args)["flow"])
+    np.testing.assert_array_equal(e1, e2)

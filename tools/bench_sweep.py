@@ -27,6 +27,7 @@ def main():
 
     from bench import make_batch
     from deflow_tpu.ops import chamfer as CH
+    from deflow_tpu.ops.pallas_sweep import CHUNK_C, CHUNK_Q
 
     batch = int(os.environ.get("BENCH_BS", 4))
     n = int(os.environ.get("BENCH_N", 98304))
@@ -80,8 +81,8 @@ def main():
         "metric": "ssl_nn_grad_ms" if grad_mode else "ssl_nn_forward_ms",
         "value": round(dt, 2), "unit": "ms",
         "batch": batch, "n": n, "dist": dist, "compile_s": round(t_c, 1),
-        "chunk_q": int(os.environ.get("DEFLOW_SWEEP_CHUNK_Q", 256)),
-        "chunk_c": int(os.environ.get("DEFLOW_SWEEP_CHUNK_C", 256)),
+        "chunk_q": CHUNK_Q,
+        "chunk_c": CHUNK_C,
     }), flush=True)
 
 

@@ -232,4 +232,50 @@ void sorted_record(const float* pts, int64_t n,
     }
 }
 
+// SSL chamfer cell prep (host pc1 pre-sort for the Pallas cell-sweep
+// kernel; mirrors data/host_prep.py chamfer_cell_prep): bin XY into
+// cell-meter cells (clipped f32 floor-divide, matching chamfer._bin2d),
+// stable counting sort by local cell id (masked rows -> the per-sample
+// sentinel kgap = (gy+1)*gx), and emit the slab lanes [5, n] (sorted x, y,
+// z, flag, original-row; masked coords zeroed), sorted local ids [n], and
+// the per-cell start table [kgap+1] — all in two linear passes (the numpy
+// path's np.argsort costs ~18 ms/sample at 98k points; this runs ~1 ms).
+void chamfer_cell_prep(const float* pts, const uint8_t* mask,
+                       const uint8_t* flag, int64_t n,
+                       float cell, const float* lo,
+                       int32_t gx, int32_t gy,
+                       float* lanes /* [5, n] */, int32_t* sid,
+                       int32_t* start /* [(gy+1)*gx + 1] */) {
+    const int32_t kgap = (gy + 1) * gx;
+    std::vector<int32_t> local(n);
+    std::vector<int64_t> cnt(kgap + 2, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t id = kgap;
+        if (mask[i]) {
+            float rx = std::floor((pts[i * 3 + 0] - lo[0]) / cell);
+            float ry = std::floor((pts[i * 3 + 1] - lo[1]) / cell);
+            int32_t cx = rx < 0.0f ? 0 : (rx > (float)(gx - 1) ? gx - 1
+                                                               : (int32_t)rx);
+            int32_t cy = ry < 0.0f ? 0 : (ry > (float)(gy - 1) ? gy - 1
+                                                               : (int32_t)ry);
+            id = cy * gx + cx;
+        }
+        local[i] = id;
+        cnt[id + 1]++;
+    }
+    for (int64_t b = 1; b < (int64_t)cnt.size(); ++b) cnt[b] += cnt[b - 1];
+    for (int32_t c = 0; c <= kgap; ++c) start[c] = (int32_t)cnt[c];
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t id = local[i];
+        const int64_t pos = cnt[id]++;
+        const uint8_t ok = mask[i];
+        lanes[0 * n + pos] = ok ? pts[i * 3 + 0] : 0.0f;
+        lanes[1 * n + pos] = ok ? pts[i * 3 + 1] : 0.0f;
+        lanes[2 * n + pos] = ok ? pts[i * 3 + 2] : 0.0f;
+        lanes[3 * n + pos] = flag[i] ? 1.0f : 0.0f;
+        lanes[4 * n + pos] = (float)i;
+        sid[pos] = id;
+    }
+}
+
 }  // extern "C"

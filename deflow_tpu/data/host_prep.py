@@ -34,6 +34,73 @@ HOST_PREP_KEYS = (
     "pc0_sorted_rec", "pc1_sorted_rec",
 )
 
+# SSL chamfer cell prep (host pc1 pre-sort): pc1 is flow-independent, so its
+# 2 m-cell counting sort, per-cell start table, and slab lanes for the Pallas
+# cell-sweep kernel (ops/pallas_sweep.py) can all come from the host —
+# removing one 6-payload device sort + one searchsorted start-table build
+# (~4 ms/step at 4x98304 on v5e) from every SSL step.  Attached only when
+# the batch carries DUFO labels (the SSL pipelines).
+CHAMFER_CELL_KEYS = ("pc1_cell_lanes", "pc1_cell_sid", "pc1_cell_start")
+
+
+def chamfer_cell_prep(pts: np.ndarray, mask: np.ndarray, flag: np.ndarray,
+                      cell: float = 2.0,
+                      lo: Sequence[float] = (-51.2, -51.2),
+                      hi: Sequence[float] = (51.2, 51.2)) -> Dict[str, np.ndarray]:
+    """Per-sample chamfer cell sort for ``ops.chamfer._sweep_cloud_from_host``.
+
+    Bins XY into ``cell``-meter cells (same clipped f32 floor-divide as
+    ``chamfer._bin2d``), sorts rows by local cell id (stable — ties keep
+    original order, matching the device ``lax.sort``), and emits:
+
+    - ``lanes`` [5, N] f32: sorted x, y, z, flag, original-row.
+    - ``sid``   [N] i32: sorted LOCAL cell ids, ``cy·gx + cx``; masked rows
+      carry the per-sample sentinel ``(gy+1)·gx`` (sorts to the sample's
+      tail; the device maps it to the global sentinel).
+    - ``start`` [(gy+1)·gx + 1] i32: first sorted row with id >= c.
+
+    Geometry must mirror ``chamfer._resolve_spec`` for the loss's truncate
+    (cell = max(truncate, 0.5), ring = 1, lo/hi = ±51.2 defaults)."""
+    gx = int(np.ceil((hi[0] - lo[0]) / cell - 1e-6))
+    gy = int(np.ceil((hi[1] - lo[1]) / cell - 1e-6))
+    kgap = (gy + 1) * gx
+    lo32 = np.asarray(lo, np.float32)
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "chamfer_cell_prep"):
+        import ctypes
+
+        n = len(pts)
+        lanes = np.empty((5, n), np.float32)
+        sid = np.empty((n,), np.int32)
+        start = np.empty((kgap + 1,), np.int32)
+        lib.chamfer_cell_prep(
+            native._ptr(np.ascontiguousarray(pts, np.float32),
+                        ctypes.c_float),
+            native._ptr(np.ascontiguousarray(mask, np.uint8), ctypes.c_uint8),
+            native._ptr(np.ascontiguousarray(flag, np.uint8), ctypes.c_uint8),
+            n, ctypes.c_float(cell), native._ptr(lo32, ctypes.c_float),
+            gx, gy,
+            native._ptr(lanes, ctypes.c_float),
+            native._ptr(sid, ctypes.c_int32),
+            native._ptr(start, ctypes.c_int32))
+        return {"lanes": lanes, "sid": sid, "start": start}
+    rel = (pts[:, :2].astype(np.float32) - lo32) / np.float32(cell)
+    cc = np.floor(rel).astype(np.int32)
+    cx = np.clip(cc[:, 0], 0, gx - 1)
+    cy = np.clip(cc[:, 1], 0, gy - 1)
+    sid_local = np.where(mask, cy * gx + cx, kgap).astype(np.int32)
+    order = np.argsort(sid_local, kind="stable")
+    sid_sorted = sid_local[order]
+    # zero masked-row coords (mirrors _ssl_nn's zeroed inputs; keeps NaN/inf
+    # padding out of the kernel even though the w-lane makes them lose)
+    p = np.where(mask[order][:, None], pts[order], 0.0).astype(np.float32)
+    lanes = np.stack([p[:, 0], p[:, 1], p[:, 2],
+                      flag[order].astype(np.float32),
+                      order.astype(np.float32)])
+    start = np.searchsorted(sid_sorted,
+                            np.arange(kgap + 1, dtype=np.int32)).astype(np.int32)
+    return {"lanes": lanes, "sid": sid_sorted, "start": start}
+
 
 def prep_sample(
     pc0: np.ndarray, pc1: np.ndarray,
@@ -123,6 +190,15 @@ def attach_host_prep(
                 p[f"{tag}_ids"] = p[f"{tag}_sorted"]
                 p[f"{tag}_unsort"] = p.pop(f"{tag}_iperm")
                 del p[f"{tag}_order"]
+        if "dufo_label1" in batch:
+            # SSL: pre-sort pc1 for the chamfer cell sweep (from the FINAL
+            # device row order — post-permute when sort=True)
+            cp = chamfer_cell_prep(
+                batch["pc1"][i], batch["pc1_mask"][i],
+                batch["pc1_mask"][i] & (batch["dufo_label1"][i] > 0))
+            p["pc1_cell_lanes"] = cp["lanes"]
+            p["pc1_cell_sid"] = cp["sid"]
+            p["pc1_cell_start"] = cp["start"]
         return p
 
     if num_workers and num_workers > 1 and b > 1:
@@ -135,7 +211,7 @@ def attach_host_prep(
     if sort:
         batch["pc0_unsort"] = np.stack([p["pc0_unsort"] for p in per])
         batch["pc1_unsort"] = np.stack([p["pc1_unsort"] for p in per])
-    for k in HOST_PREP_KEYS:
+    for k in HOST_PREP_KEYS + CHAMFER_CELL_KEYS:
         if k in per[0]:
             batch[k] = np.stack([p[k] for p in per])
     return batch

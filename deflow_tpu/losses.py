@@ -169,6 +169,18 @@ def seflow_loss(
             spec = spec._replace(dyn_cap=int(dyn_cap))
         dyn0 = m0 & (dufo0 > 0)
         dyn1 = m1 & (dufo1 > 0)
+        # Host-prepped pc1 cell sort (loader chamfer_cell_prep): saves the
+        # device-side pc1 sort + start-table searchsorted (~4 ms/step at
+        # 4x98304 on v5e).  Gated on the start-table width matching this
+        # spec's grid — a custom truncate/cell falls back to device sorting.
+        host_c1 = None
+        if "pc1_cell_lanes" in batch:
+            from deflow_tpu.ops.chamfer import _grid_dims
+
+            gx, gy = _grid_dims(spec)
+            if int(batch["pc1_cell_start"].shape[-1]) == (gy + 1) * gx + 1:
+                host_c1 = (batch["pc1_cell_lanes"], batch["pc1_cell_sid"],
+                           batch["pc1_cell_start"])
         if mesh is not None and mesh.devices.size > 1:
             # The grid chamfer's flat-batch lax.sort spans the whole batch;
             # under GSPMD a batch-sharded sort becomes a cross-device
@@ -180,16 +192,21 @@ def seflow_loss(
             from jax import shard_map
             from jax.sharding import PartitionSpec as _P
 
+            def nn_local(w, p1, a0, a1, y0, y1, hc1):
+                return ssl_chamfer_distances(
+                    w, p1, a0, a1, y0, y1, truncate=truncate, spec=spec,
+                    host_c1=hc1)
+
             nn = shard_map(
-                _ft.partial(ssl_chamfer_distances, truncate=truncate,
-                            spec=spec),
-                mesh=mesh, in_specs=(_P("data"),) * 6,
+                nn_local, mesh=mesh,
+                in_specs=(_P("data"),) * 6 + (
+                    None if host_c1 is None else (_P("data"),) * 3,),
                 out_specs=(_P("data"),) * 4, check_vma=False)
-            d0, d1, dd0, dd1 = nn(warped, pc1, m0, m1, dyn0, dyn1)
+            d0, d1, dd0, dd1 = nn(warped, pc1, m0, m1, dyn0, dyn1, host_c1)
         else:
             d0, d1, dd0, dd1 = ssl_chamfer_distances(
                 warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate,
-                spec=spec)
+                spec=spec, host_c1=host_c1)
         terms = (_rows_mean(jnp.minimum(d0, t2), m0)
                  + _rows_mean(jnp.minimum(d1, t2), m1)
                  + _rows_mean(jnp.minimum(dd0, t2), dyn0)

@@ -319,6 +319,43 @@ def _sweep_sort(pts, mask, flag, spec: NNSpec) -> _SweepCloud:
     return _SweepCloud(sid, sx, sy, sz, sflag, sglobal, start, n, c_total)
 
 
+def _sweep_cloud_from_host(lanes: jnp.ndarray, sid_local: jnp.ndarray,
+                           start: jnp.ndarray, spec: NNSpec) -> _SweepCloud:
+    """Assemble a :class:`_SweepCloud` from host-side chamfer cell prep
+    (data/host_prep.py ``chamfer_cell_prep``) — no device sort, no
+    searchsorted start-table build (~4 ms/step at 4x98304 on v5e).
+
+    Args: lanes [B, 5, N] f32 (sorted x, y, z, flag, orig-row per sample),
+    sid_local [B, N] i32 local cell ids (masked rows = the per-sample
+    sentinel ``kgap``), start [B, kgap+1] i32 per-sample row offsets.
+
+    Layout difference vs :func:`_sweep_sort`: masked rows sit at each
+    SAMPLE's tail instead of the global tail (their sid maps to the global
+    sentinel, so the kernel's w-lane still makes them lose everywhere), and
+    the start table is exact per sample — a window dipping across a sample
+    boundary walks the neighbor sample's masked tail, which the w-lane
+    likewise defuses (chunk-granular windows already admit such rows).
+    """
+    b, _, n = lanes.shape
+    gx, gy = _grid_dims(spec)
+    kgap = (gy + 1) * gx
+    c_total = b * kgap
+    assert start.shape[-1] == kgap + 1, (
+        f"host chamfer prep grid mismatch: start table {start.shape[-1] - 1} "
+        f"cells vs spec {(gx, gy)} -> {kgap}")
+    flat = lambda k: lanes[:, k, :].reshape(b * n)
+    s_of_row = jnp.arange(b * n, dtype=jnp.int32) // n
+    loc = sid_local.reshape(b * n)
+    sid = jnp.where(loc >= kgap, c_total, loc + s_of_row * kgap)
+    sglobal = flat(4) + (s_of_row * n).astype(jnp.float32)
+    start_g = (start[:, :kgap]
+               + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]).reshape(-1)
+    start_g = jnp.concatenate(
+        [start_g, jnp.full((1,), b * n, jnp.int32)]).astype(jnp.int32)
+    return _SweepCloud(sid, flat(0), flat(1), flat(2), flat(3), sglobal,
+                       start_g, n, c_total)
+
+
 def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     """One sweep direction through the Pallas kernel: per ORIGINAL query row
     (d_all [B,N], i_all, d_flag, i_flag) with i = sample-local candidate rows
@@ -370,10 +407,16 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     c_slab = jnp.concatenate(
         [l.reshape(ncc, 1, CHUNK_C) for l in lanes], axis=1)
 
-    # ---- ring-row windows per query chunk (sorted ids ⇒ chunk min/max are
-    # the first/last elements)
+    # ---- ring-row windows per query chunk.  Explicit min/max (not
+    # first/last): the host-prepped layout interleaves per-sample masked
+    # tails (global-sentinel sid) with the next sample's real rows, so a
+    # boundary chunk is not globally ascending — max must EXCLUDE sentinels
+    # or the window would span to the end of the slab.
     sid_chunks = sid_pad.reshape(nq_pad // CHUNK_Q, CHUNK_Q)
-    qmin, qmax = sid_chunks[:, 0], sid_chunks[:, -1]
+    qmin = jnp.min(sid_chunks, axis=1)
+    qmax = jnp.max(jnp.where(sid_chunks >= qc.c_total, -1, sid_chunks), axis=1)
+    # all-sentinel chunk: qmin = c_total (clipped), qmax = -1 -> rhi <= rlo
+    # -> zero windows (same no-op as the sorted path's sentinel tail)
     cs_cols, cn_cols = [], []
     for j in (-1, 0, 1):
         wlo = jnp.clip(qmin + j * gx - 1, 0, cc.c_total - 1)
@@ -632,6 +675,50 @@ def _ssl_nn_bwd(spec, res, cts):
 _ssl_nn.defvjp(_ssl_nn_fwd, _ssl_nn_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _ssl_nn_hosted(pc0, pc1, mask0, mask1, flag0, flag1,
+                   lanes, sid, start, spec):
+    """:func:`_ssl_nn` with pc1's cell sort shipped from the host
+    (data/host_prep.py ``chamfer_cell_prep``): pc1 is flow-independent, so
+    its device sort + start-table searchsorted are pure overhead.  The
+    backward is identical (matched-pair subgradients in original row
+    space); the host arrays carry no gradient."""
+    if _use_pallas():
+        c0 = _sweep_sort(pc0, mask0, flag0, spec)
+        c1 = _sweep_cloud_from_host(lanes, sid, start, spec)
+        d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
+        d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
+    else:
+        d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
+        d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
+    d0a = jnp.where(mask0, d0a, 0.0)
+    d1a = jnp.where(mask1, d1a, 0.0)
+    d0f = jnp.where(mask0 & flag0, d0f, 0.0)
+    d1f = jnp.where(mask1 & flag1, d1f, 0.0)
+    return d0a, d1a, d0f, d1f, i0a, i1a, i0f, i1f
+
+
+def _ssl_nn_hosted_fwd(pc0, pc1, mask0, mask1, flag0, flag1,
+                       lanes, sid, start, spec):
+    out = _ssl_nn_hosted(pc0, pc1, mask0, mask1, flag0, flag1,
+                         lanes, sid, start, spec)
+    _, _, _, _, i0a, i1a, i0f, i1f = out
+    return out, (pc0, pc1, mask0, mask1, flag0, flag1, i0a, i1a, i0f, i1f,
+                 lanes.shape, sid.shape, start.shape)
+
+
+def _ssl_nn_hosted_bwd(spec, res, cts):
+    *core, lanes_shape, sid_shape, start_shape = res
+    d_pc0, d_pc1, zm0, zm1, zf0, zf1 = _ssl_nn_bwd(spec, tuple(core), cts)
+    f0 = lambda s: jnp.zeros(s, dtype=jax.dtypes.float0)
+    return (d_pc0, d_pc1, zm0, zm1, zf0, zf1,
+            jnp.zeros(lanes_shape, jnp.float32), f0(sid_shape),
+            f0(start_shape))
+
+
+_ssl_nn_hosted.defvjp(_ssl_nn_hosted_fwd, _ssl_nn_hosted_bwd)
+
+
 def ssl_chamfer_distances(
     pc0: jnp.ndarray,
     pc1: jnp.ndarray,
@@ -641,12 +728,17 @@ def ssl_chamfer_distances(
     dyn1: jnp.ndarray,
     truncate: float = 2.0,
     spec: Optional[NNSpec] = None,
+    host_c1=None,
 ):
     """Fused SeFlow chamfer: (d0_all, d1_all, d0_dyn, d1_dyn) squared NN
     distances, where the *_dyn pair restricts BOTH queries and candidates to
     the dynamic subsets.  Equivalent to two truncated ``chamfer_distance``
     grid calls at ~55% of the cost (one binning + one sweep per direction).
     Exact below ``ring*cell >= truncate`` modulo cell-capacity overflow.
+
+    ``host_c1``: optional (lanes [B,5,N], sid [B,N], start [B,K+1]) from the
+    loader's ``chamfer_cell_prep`` — pc1's cell sort precomputed on the host
+    (geometry must match ``spec``; see losses.seflow_loss for the gate).
     """
     if spec is None:
         spec = _resolve_spec("grid", pc0.shape[-2], pc1.shape[-2],
@@ -656,7 +748,10 @@ def ssl_chamfer_distances(
     args = [jnp.where(up(mask0)[..., None], up(pc0), 0.0).astype(jnp.float32),
             jnp.where(up(mask1)[..., None], up(pc1), 0.0).astype(jnp.float32),
             up(mask0), up(mask1), up(dyn0), up(dyn1)]
-    out = _ssl_nn(*args, spec)[:4]
+    if host_c1 is not None:
+        out = _ssl_nn_hosted(*args, *host_c1, spec)[:4]
+    else:
+        out = _ssl_nn(*args, spec)[:4]
     return tuple(x if batched else x[0] for x in out)
 
 

@@ -169,9 +169,15 @@ def _pack(sorted_feats, sorted_pid, n, n_pad, c, c_pad):
     pid32 = sorted_pid.astype(jnp.int32)
     if bf16:
         # base-128 digits, most significant first; pid < 2^21 so the top
-        # digit needs no % (ids are nonnegative: sentinel = segs-pad + 1)
+        # digit needs no % (ids are nonnegative: sentinel = segs-pad + 1).
+        # Materialized TRANSPOSED [3, n] (dense rows, 2.4 MB): a [n, 3] bf16
+        # intermediate tiles each 3-lane row group up to 128 physical lanes
+        # — XLA CSE'd it across the three scatters as 3x100 MB of padded
+        # writes (fusion.339, 6.0 ms/step measured on v5e) — and the slab
+        # concat absorbs the three [n, 1] strided column reads instead.
         div = jnp.asarray([16384, 128, 1], jnp.int32)
-        digits = [((pid32[:, None] // div) % 128).astype(dtype)]
+        digits_t = ((pid32[None, :] // div[:, None]) % 128).astype(dtype)
+        digits = [digits_t[k][:, None] for k in range(3)]
     else:
         digits = [pid32.astype(dtype)[:, None]]
     sf = jnp.pad(sorted_feats, ((0, n_pad - n), (0, 0)))

@@ -91,6 +91,9 @@ _BATCH_KEYS = ("pc0", "pc1", "pose0", "pose1", "pc0_mask", "pc1_mask",
                "pc0_ids", "pc0_order", "pc0_iperm", "pc0_sorted",
                "pc1_ids", "pc1_order", "pc1_iperm", "pc1_sorted",
                "pc0_sorted_rec", "pc1_sorted_rec",
+               # SSL chamfer cell prep (host pc1 pre-sort for the cell-sweep
+               # kernel; data/host_prep.py CHAMFER_CELL_KEYS)
+               "pc1_cell_lanes", "pc1_cell_sid", "pc1_cell_start",
                # multi-frame history (num_frames > 2, loader pch{h} keys) —
                # generated for every h the loader could emit so a deep-history
                # config can't silently lose frames to this whitelist

@@ -62,6 +62,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         vp = ctypes.c_void_p
         lib.gather_rows.restype = None
         lib.gather_rows.argtypes = [vp, i32p, i64, i64, vp]
+    if hasattr(lib, "chamfer_cell_prep"):
+        lib.chamfer_cell_prep.restype = None
+        lib.chamfer_cell_prep.argtypes = [f32p, u8p, u8p, i64,
+                                          ctypes.c_float, f32p, i32, i32,
+                                          f32p, i32p, i32p]
     _LIB = lib
     return lib
 

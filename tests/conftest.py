@@ -32,12 +32,19 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def pytest_collection_modifyitems(config, items):
-    """Everything not explicitly @pytest.mark.slow is part of the fast tier
-    (`pytest -m fast`, <5 min on 1 vCPU) so drivers/reviewers can verify the
-    whole subsystem surface inside a timeout; the slow tier adds full-model
-    compiles and large-shape parity runs."""
+    """Three tiers so drivers/reviewers can verify inside a timeout
+    (measured 2026-08-19 on this 1-vCPU sandbox):
+
+    - fast  = everything not marked slow/heavy (`pytest -m fast`, ~4.5 min)
+    - slow  = full-model compiles / large-shape parity (`-m slow`, ~9 min)
+    - heavy = the multi-minute integration monsters (`-m heavy`, ~6 min):
+      fused-CBG UNet A/B, overfit-trajectory golden, sharded pallas e2e,
+      train-CLI main
+
+    Each tier fits a 10-minute timeout on its own; `-m "not fast"` runs
+    slow+heavy together (~15 min)."""
     import pytest
 
     for item in items:
-        if "slow" not in item.keywords:
+        if "slow" not in item.keywords and "heavy" not in item.keywords:
             item.add_marker(pytest.mark.fast)

@@ -119,7 +119,7 @@ def test_full_eval_path_matches_torch_twin(tmp_path):
             f"{k}: jax={a:.6f} torch={b:.6f}")
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_overfit_trajectory_golden(tmp_path):
     """25 supervised steps on one fixed batch, seeds pinned everywhere.
     The golden band was captured on the CPU 8-device mesh with matmul

@@ -28,7 +28,8 @@ def _batch(seed=0, b=2, n=1024, identity_pose=True):
             "pc0_mask": mask, "pc1_mask": mask.copy()}
 
 
-@pytest.mark.parametrize("identity_pose", [True, False])
+@pytest.mark.parametrize("identity_pose", [
+    pytest.param(True, marks=pytest.mark.slow), False])
 def test_model_host_prep_matches_device_path(identity_pose):
     hb = _batch(identity_pose=identity_pose)
     model = DeFlow(voxel_size=VOXEL, grid_feature_size=GRID, num_iters=2)

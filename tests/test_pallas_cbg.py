@@ -166,7 +166,7 @@ def test_headbn_chain_matches_plain():
         np.asarray(c), np.asarray(a), rtol=1e-3, atol=3e-4), g0, g1)
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_fused_unet_matches_plain(monkeypatch):
     """DEFLOW_FUSED_CBG=1: identical variable tree (conv/batchnorm names),
     matching forward, batch-stat updates, and gradients vs the plain UNet."""

@@ -248,3 +248,108 @@ def test_sweep_duplicate_and_single_points(interpret_pallas):
     np.testing.assert_allclose(np.asarray(d0)[:, 0], 0.25, rtol=1e-6)
     # duplicates in q: any of the 8 identical rows is a valid match
     assert 0 <= int(np.asarray(i0)[0, 0]) < 8
+
+
+def _host_c1(q, mq, fq, spec):
+    from deflow_tpu.data.host_prep import chamfer_cell_prep
+
+    cps = [chamfer_cell_prep(q[i], mq[i], fq[i] & mq[i], cell=spec.cell,
+                             lo=spec.lo, hi=spec.hi)
+           for i in range(q.shape[0])]
+    return (jnp.asarray(np.stack([c["lanes"] for c in cps])),
+            jnp.asarray(np.stack([c["sid"] for c in cps])),
+            jnp.asarray(np.stack([c["start"] for c in cps])))
+
+
+def test_hosted_cell_prep_matches_device_sort(interpret_pallas):
+    """The loader's pc1 chamfer cell prep (host pre-sort) is equivalent to
+    the device `_sweep_sort` path: identical distances for all four outputs
+    (bit-exact — both paths run the same kernel arithmetic on the same
+    per-cell candidate order), matched indices point at equal-distance rows,
+    and the SeFlow-shaped VJP agrees."""
+    from deflow_tpu.ops import chamfer as CH
+
+    p, q, mp, mq, fp, fq = _clouds(11, b=2, n=300, m=400)
+    args = (jnp.asarray(np.where(mp[..., None], p, 0.0)),
+            jnp.asarray(np.where(mq[..., None], q, 0.0)),
+            jnp.asarray(mp), jnp.asarray(mq),
+            jnp.asarray(fp & mp), jnp.asarray(fq & mq))
+    hc1 = _host_c1(q, mq, fq, SPEC)
+
+    ref = CH._ssl_nn(*args, SPEC)
+    hos = CH._ssl_nn_hosted(*args, *hc1, SPEC)
+    for k in range(4):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(hos[k]))
+    # matched indices: equal-distance rows (tie winners may differ between
+    # the two layouts; the distance through the index must not)
+    i0 = np.asarray(hos[4])
+    d0 = np.asarray(hos[0])
+    qn = np.where(mq[..., None], q, 0.0)
+    for b in range(p.shape[0]):
+        rows = mp[b] & (d0[b] < SPEC.cell ** 2)  # exactness region
+        dd = ((np.where(mp[b][:, None], p[b], 0.0)[rows]
+               - qn[b][i0[b][rows]]) ** 2).sum(-1)
+        np.testing.assert_allclose(dd, d0[b][rows], rtol=1e-6, atol=1e-6)
+
+    # SeFlow-shaped VJP (gradient wrt the warped side only)
+    t2 = float(SPEC.cell ** 2)
+
+    def loss_ref(p0):
+        o = CH._ssl_nn(p0, *args[1:], SPEC)[:4]
+        return sum(jnp.sum(jnp.minimum(d, t2)) for d in o)
+
+    def loss_hos(p0):
+        o = CH._ssl_nn_hosted(p0, *args[1:], *hc1, SPEC)[:4]
+        return sum(jnp.sum(jnp.minimum(d, t2)) for d in o)
+
+    g_ref = jax.grad(loss_ref)(args[0])
+    g_hos = jax.grad(loss_hos)(args[0])
+    np.testing.assert_allclose(np.asarray(g_hos), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_seflow_loss_uses_hosted_cell_prep(interpret_pallas):
+    """seflow_loss picks up the loader's chamfer cell keys and produces the
+    same value/gradient as without them; a geometry-mismatched start table
+    falls back to the device sort silently."""
+    from deflow_tpu.data.host_prep import chamfer_cell_prep
+    from deflow_tpu.losses import seflow_loss
+
+    rng = np.random.default_rng(5)
+    b, n = 2, 300
+    pc0 = rng.uniform(-7.5, 7.5, (b, n, 3)).astype(np.float32)
+    pc1 = rng.uniform(-7.5, 7.5, (b, n, 3)).astype(np.float32)
+    m = np.ones((b, n), bool)
+    dufo0 = (rng.random((b, n)) > 0.6).astype(np.int32)
+    dufo1 = (rng.random((b, n)) > 0.6).astype(np.int32)
+    flow = rng.normal(0, 0.1, (b, n, 3)).astype(np.float32)
+    out = {"flow": jnp.asarray(flow),
+           "pose_flow": jnp.zeros((b, n, 3), jnp.float32),
+           "pc0_valid": jnp.asarray(m), "pc1_valid": jnp.asarray(m)}
+    base = {"pc0": jnp.asarray(pc0), "pc1": jnp.asarray(pc1),
+            "pc0_mask": jnp.asarray(m), "pc1_mask": jnp.asarray(m),
+            "dufo_label0": jnp.asarray(dufo0),
+            "dufo_label1": jnp.asarray(dufo1)}
+    # chamfer_method="grid" with default truncate=2.0 -> cell 2.0, +/-51.2
+    cps = [chamfer_cell_prep(pc1[i], m[i], m[i] & (dufo1[i] > 0))
+           for i in range(b)]
+    hosted = dict(base)
+    hosted["pc1_cell_lanes"] = jnp.asarray(np.stack([c["lanes"] for c in cps]))
+    hosted["pc1_cell_sid"] = jnp.asarray(np.stack([c["sid"] for c in cps]))
+    hosted["pc1_cell_start"] = jnp.asarray(np.stack([c["start"] for c in cps]))
+
+    f_base = lambda fl: seflow_loss({**out, "flow": fl}, base,
+                                    chamfer_method="grid")
+    f_host = lambda fl: seflow_loss({**out, "flow": fl}, hosted,
+                                    chamfer_method="grid")
+    v0, g0 = jax.value_and_grad(f_base)(out["flow"])
+    v1, g1 = jax.value_and_grad(f_host)(out["flow"])
+    assert float(v0) == pytest.approx(float(v1), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-5, atol=1e-6)
+
+    # mismatched geometry (wrong cell) -> gate rejects, still correct
+    bad = dict(hosted)
+    bad["pc1_cell_start"] = bad["pc1_cell_start"][:, :31]
+    v2 = seflow_loss(out, bad, chamfer_method="grid")
+    assert float(v2) == pytest.approx(float(v0), rel=1e-6)

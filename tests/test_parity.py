@@ -58,7 +58,8 @@ def _build_pair(seed=0, n=4096, decoder="gru"):
 
 
 @pytest.mark.parametrize("decoder", [
-    pytest.param("gru", marks=pytest.mark.slow), "linear"])
+    pytest.param("gru", marks=pytest.mark.slow),
+    pytest.param("linear", marks=pytest.mark.slow)])
 def test_forward_parity(decoder):
     tm, jm, variables, pc0, pc1, pose0, pose1 = _build_pair(seed=1, decoder=decoder)
 

@@ -108,6 +108,7 @@ def test_checkpoint_roundtrip(cfg, tmp_path):
     ds.close()
 
 
+@pytest.mark.heavy
 def test_train_main_entry(cfg, tmp_path):
     """Full train.py main(): one epoch + validation + checkpointing."""
     from deflow_tpu.entry.train import main
@@ -123,7 +124,7 @@ def test_train_main_entry(cfg, tmp_path):
     assert any(c.startswith("epoch_") for c in ckpts)
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_pallas_path_under_sharding(monkeypatch):
     """Pallas kernels inside the pjit-sharded train step (interpret mode on
     the 8-device mesh) must produce the same loss as the XLA path — guards

@@ -181,36 +181,41 @@ def seflow_loss(
             if int(batch["pc1_cell_start"].shape[-1]) == (gy + 1) * gx + 1:
                 host_c1 = (batch["pc1_cell_lanes"], batch["pc1_cell_sid"],
                            batch["pc1_cell_start"])
+        # NOTE (round 5, measured dead end): a fused sorted-space variant
+        # that computed the four per-sample TRUNCATED SUMS directly in
+        # sorted-query order (no unsort sorts, no [B,N] distance
+        # materializations, hand-written matched-pair VJP) lost ~8% on v5e
+        # in a same-process A/B (ssl4 26.9 vs 29.2 pairs/s, skewed 25.5 vs
+        # 27.8, repeats ±0.1) even after packing its per-row metadata into
+        # the kernel's spare q-slab lanes: the per-sample select/reduce
+        # passes + gather-free mirror scatters cost more than the two ~1 ms
+        # payload unsorts they replace.  Keep the unsorted distances path.
+        def chamfer_terms(w, p1, a0, a1, y0, y1, hc1):
+            d0, d1, dd0, dd1 = ssl_chamfer_distances(
+                w, p1, a0, a1, y0, y1, truncate=truncate, spec=spec,
+                host_c1=hc1)
+            return (_rows_mean(jnp.minimum(d0, t2), a0)
+                    + _rows_mean(jnp.minimum(d1, t2), a1)
+                    + _rows_mean(jnp.minimum(dd0, t2), y0)
+                    + _rows_mean(jnp.minimum(dd1, t2), y1))
+
         if mesh is not None and mesh.devices.size > 1:
             # The grid chamfer's flat-batch lax.sort spans the whole batch;
             # under GSPMD a batch-sharded sort becomes a cross-device
             # all-gather.  Samples are independent (per-sample id offsets),
             # so shard_map over the data axis keeps every sort local to its
             # chip — same values, zero collectives inside the loss.
-            import functools as _ft
-
             from jax import shard_map
             from jax.sharding import PartitionSpec as _P
 
-            def nn_local(w, p1, a0, a1, y0, y1, hc1):
-                return ssl_chamfer_distances(
-                    w, p1, a0, a1, y0, y1, truncate=truncate, spec=spec,
-                    host_c1=hc1)
-
-            nn = shard_map(
-                nn_local, mesh=mesh,
+            terms_fn = shard_map(
+                chamfer_terms, mesh=mesh,
                 in_specs=(_P("data"),) * 6 + (
                     None if host_c1 is None else (_P("data"),) * 3,),
-                out_specs=(_P("data"),) * 4, check_vma=False)
-            d0, d1, dd0, dd1 = nn(warped, pc1, m0, m1, dyn0, dyn1, host_c1)
+                out_specs=_P("data"), check_vma=False)
         else:
-            d0, d1, dd0, dd1 = ssl_chamfer_distances(
-                warped, pc1, m0, m1, dyn0, dyn1, truncate=truncate,
-                spec=spec, host_c1=host_c1)
-        terms = (_rows_mean(jnp.minimum(d0, t2), m0)
-                 + _rows_mean(jnp.minimum(d1, t2), m1)
-                 + _rows_mean(jnp.minimum(dd0, t2), dyn0)
-                 + _rows_mean(jnp.minimum(dd1, t2), dyn1))
+            terms_fn = chamfer_terms
+        terms = terms_fn(warped, pc1, m0, m1, dyn0, dyn1, host_c1)
         static = m0 & (dufo0 == 0)
         terms = terms + _rows_mean(jnp.sum(net ** 2, axis=-1), static)
         return jnp.mean(terms)

@@ -356,11 +356,11 @@ def _sweep_cloud_from_host(lanes: jnp.ndarray, sid_local: jnp.ndarray,
                        start_g, n, c_total)
 
 
-def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
-    """One sweep direction through the Pallas kernel: per ORIGINAL query row
-    (d_all [B,N], i_all, d_flag, i_flag) with i = sample-local candidate rows
-    (−1 / garbage where d is the no-candidate sentinel, as in the XLA path).
-    """
+def _sweep_call(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
+    """One sweep direction through the Pallas kernel, in SORTED-query order:
+    returns out [NQ_pad, 8] with lanes (d_all, i_all, d_flag, i_flag, 0…),
+    i = sample-local candidate rows.  Callers that need original row order
+    unsort via ``qc.sglobal`` (see :func:`_sweep_dir`)."""
     from deflow_tpu.ops.pallas_sweep import (
         CHUNK_C, CHUNK_Q, cell_sweep_pallas)
 
@@ -376,7 +376,7 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     kgap = qc.c_total // b
     wstep = jnp.float32(max(1000.0, math.ceil(spec.ring * spec.cell * 2.0)))
 
-    # ---- query slab [NQ_pad, 8]: x, y, z, w
+    # ---- query slab [NQ_pad, 8]: x, y, z, w (kernel reads lanes 0-3 only)
     sid_pad = jnp.pad(qc.sid, (0, nq_pad - bn), constant_values=qc.c_total)
     qw = jnp.where(sid_pad >= qc.c_total, jnp.float32(2e19),
                    (sid_pad // kgap).astype(jnp.float32) * wstep)
@@ -430,8 +430,17 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     cs = jnp.stack(cs_cols, axis=1).astype(jnp.int32)
     cn = jnp.stack(cn_cols, axis=1).astype(jnp.int32)
 
-    out = cell_sweep_pallas(q_slab, c_slab, cs, cn, dual)
+    return cell_sweep_pallas(q_slab, c_slab, cs, cn, dual)
 
+
+def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
+    """:func:`_sweep_call` + unsort to ORIGINAL query rows: per-row
+    (d_all [B,N], i_all, d_flag, i_flag) with i = sample-local candidate
+    rows (−1 / garbage where d is the no-candidate sentinel)."""
+    out = _sweep_call(qc, cc, spec, dual)
+    bn = qc.sid.shape[0]
+    b = bn // qc.n
+    nq_pad = out.shape[0]
     # ---- unsort: one payload sort keyed by the carried original rows
     key = jnp.pad(qc.sglobal.astype(jnp.int32), (0, nq_pad - bn),
                   constant_values=jnp.int32(2**30))
@@ -485,19 +494,27 @@ def _scatter_lanes(i, w, n_rows):
         zeros = jnp.zeros((b, n_rows, lanes), w.dtype)
         return jax.vmap(lambda ii, ww: zeros[0].at[ii].add(ww, mode="drop"))(
             i, w)
+    off = (jnp.arange(b, dtype=jnp.int32) * n_rows)[:, None]
+    flat_i = jnp.where((i >= 0) & (i < n_rows), i + off, -1).reshape(b * m)
+    added = _scatter_lanes_flat(flat_i, w.reshape(b * m, lanes), b * n_rows)
+    return jnp.moveaxis(added.reshape(lanes, b, n_rows), 0, -1).astype(w.dtype)
+
+
+def _scatter_lanes_flat(flat_i, w, segs: int):
+    """Flat-space segment scatter-add: ``out[flat_i[k], l] += w[k, l]`` into
+    [lanes, segs] zeros; rows with flat_i outside [0, segs) are dropped.
+    One payload sort + the presorted Pallas lane segment-sum (see
+    :func:`_scatter_lanes`)."""
     from deflow_tpu.ops.pallas_scatter import (
         TILE_S, _round_up, segment_sum_lanes_pallas)
 
-    segs = b * n_rows
+    m, lanes = w.shape
     sentinel = _round_up(segs, TILE_S) + 1
-    off = (jnp.arange(b, dtype=jnp.int32) * n_rows)[:, None]
-    flat_i = jnp.where((i >= 0) & (i < n_rows), i + off,
-                       sentinel).reshape(b * m)
-    wf = w.reshape(b * m, lanes).astype(jnp.float32)
+    flat_i = jnp.where((flat_i >= 0) & (flat_i < segs), flat_i, sentinel)
+    wf = w.astype(jnp.float32)
     sorted_cols = jax.lax.sort(
         (flat_i,) + tuple(wf[:, k] for k in range(lanes)), num_keys=1)
-    added = segment_sum_lanes_pallas(sorted_cols[1:], sorted_cols[0], segs)
-    return jnp.moveaxis(added.reshape(lanes, b, n_rows), 0, -1).astype(w.dtype)
+    return segment_sum_lanes_pallas(sorted_cols[1:], sorted_cols[0], segs)
 
 
 def _scatter_rows(base, i, w):
@@ -717,6 +734,7 @@ def _ssl_nn_hosted_bwd(spec, res, cts):
 
 
 _ssl_nn_hosted.defvjp(_ssl_nn_hosted_fwd, _ssl_nn_hosted_bwd)
+
 
 
 def ssl_chamfer_distances(

@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Sustained training measurement: the north-star walltime claim, MEASURED
+(VERDICT r4 #3).
+
+Runs >=N real training steps with the production DataLoader + host-prep in
+the loop (synthetic AV2-schema scenes at bench density, ground removal,
+multiple epoch boundaries crossed), on the real TPU, and reports:
+
+- steady-state pairs/s INCLUDING feed (what a user sees),
+- device-only pairs/s (bench.py's number) for the feed-stall delta,
+- per-stage time split (data wait / h2d / device step),
+- a 15-epoch AV2 walltime projection table vs the reference's 6-8 h on
+  4x A100 (reference README.md:64-66), with the host-worker assumption
+  explicit (this sandbox has ONE vCPU; a real v5e-8 VM ships 112).
+
+Writes SUSTAINED.json at the repo root.
+
+Usage: python tools/bench_sustained.py [--steps 500] [--bs 4]
+       [--loss deflowLoss] [--num-workers 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--loss", default="deflowLoss")
+    ap.add_argument("--num-workers", type=int, default=2)
+    ap.add_argument("--scenes", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--points", type=int, default=110000)
+    ap.add_argument("--max-points", type=int, default=98304)
+    ap.add_argument("--data-root", default="/tmp/sustained_ds")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from deflow_tpu.config import compose
+    from deflow_tpu.data import DataLoader, HDF5Dataset, make_split
+    from deflow_tpu.data.host_prep import attach_host_prep
+    from deflow_tpu.models import build_model
+    from deflow_tpu import trainer as T
+    from deflow_tpu.utils.timer import StageTimer
+
+    # ---- dataset: synthetic AV2-schema scenes at raw sweep density
+    split = os.path.join(args.data_root, "train")
+    if not os.path.isdir(split) or not os.listdir(split):
+        t0 = time.perf_counter()
+        make_split(args.data_root, "train", num_scenes=args.scenes,
+                   num_frames=args.frames, points_per_frame=args.points,
+                   labeled=True)
+        print(f"generated {args.scenes}x{args.frames} scenes "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    cfg = compose("config", [
+        f"dataset_path={args.data_root}", f"batch_size={args.bs}",
+        "lr=2e-4", f"loss_fn={args.loss}", "precision=bf16",
+        f"max_points={args.max_points}", f"num_workers={args.num_workers}",
+    ])
+    model = build_model(cfg.model, precision="bf16")
+    ds = HDF5Dataset(split, max_points=args.max_points, remove_ground=True,
+                     with_labels=True)
+
+    post = lambda b: attach_host_prep(
+        b, list(cfg.voxel_size), list(cfg.point_cloud_range), sort=True,
+        num_workers=args.num_workers)
+    loader = DataLoader(ds, args.bs, shuffle=True, drop_last=True,
+                        post_collate=post, num_workers=args.num_workers,
+                        seed=0)
+
+    mesh = T.create_mesh(1)
+    first = next(iter(loader))
+    state = T.init_state(model, cfg, first, seed=0)
+    state = jax.device_put(state, T.replicated(mesh))
+    step = T.jit_train_step(T.make_train_step(model, args.loss, mesh=mesh),
+                            mesh)
+
+    # compile on the first batch (excluded from timing)
+    t0 = time.perf_counter()
+    state, aux = step(state, T.device_batch(first, mesh))
+    float(aux["loss"])
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_s:.1f}s", flush=True)
+
+    timer = StageTimer("sustained")
+    pairs_per_epoch = len(ds)
+    done = 0
+    epochs = 0
+    losses = []
+    t_run0 = time.perf_counter()
+    # fetch-synchronized: drain every k steps so device time is real but
+    # dispatch pipelining across the loop is preserved
+    drain_every = 10
+    # stage split is approximate under async dispatch: "step" only pays the
+    # device when it drains (every `drain_every`); device time otherwise
+    # surfaces as backpressure inside "data"/"h2d".  The wall-clock total
+    # (and pairs/s from it) is exact either way.
+    while done < args.steps:
+        epochs += 1
+        it = iter(loader)
+        while done < args.steps:
+            with timer.stage("data"):
+                try:
+                    host_batch = next(it)
+                except StopIteration:
+                    break
+            with timer.stage("h2d"):
+                batch = T.device_batch(host_batch, mesh)
+            with timer.stage("step"):
+                state, aux = step(state, batch)
+                if (done + 1) % drain_every == 0:
+                    losses.append(float(aux["loss"]))
+            done += 1
+    float(aux["loss"])
+    wall = time.perf_counter() - t_run0
+
+    pairs = done * args.bs
+    pairs_per_sec = pairs / wall
+    # device-only reference: immediate re-run of the LAST batch, bench-style
+    def run(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, aux2 = step(state, batch)
+        float(aux2["loss"])
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = run(1)
+    tk = run(10)
+    dev_pairs_per_sec = args.bs / ((tk - t1) / 9)
+
+    # 15-epoch leaderboard-config projection: AV2 train ~110k pairs, bs16
+    # over a v5e-8 (8 chips x this per-chip rate, DP-linear — the DP
+    # all-reduce is a 7M-param psum, <1 ms on ICI)
+    av2_pairs = 15 * 110000
+    proj = {}
+    for chips in (4, 8):
+        hours = av2_pairs / (pairs_per_sec * chips) / 3600
+        proj[f"v5e-{chips}"] = round(hours, 2)
+
+    out = {
+        "loss": args.loss, "bs": args.bs, "steps": done,
+        "epochs_crossed": epochs, "num_workers": args.num_workers,
+        "host_vcpus": os.cpu_count(),
+        "dataset": {"scenes": args.scenes, "frames": args.frames,
+                    "raw_points": args.points,
+                    "pairs_per_epoch": pairs_per_epoch},
+        "wall_s": round(wall, 1),
+        "pairs_per_sec_incl_feed": round(pairs_per_sec, 2),
+        "pairs_per_sec_device_only": round(dev_pairs_per_sec, 2),
+        "feed_overhead_pct": round(
+            100 * (1 - pairs_per_sec / dev_pairs_per_sec), 1),
+        "stage_s": {k: round(ch.total, 1)
+                    for k, ch in timer.children.items()},
+        "loss_first": losses[0] if losses else None,
+        "loss_last": losses[-1] if losses else None,
+        "projection_15_epoch_hours": proj,
+        "baseline_hours_4xA100": [6, 8],
+        "note": ("feed overhead measured on a 1-vCPU sandbox host; a real "
+                 "v5e VM (112 vCPUs) runs the same host pipeline with "
+                 "num_workers>=4 where HOSTPREP.json's model puts the feed "
+                 "fully ahead of the device step"),
+    }
+    print(json.dumps(out, indent=1))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "SUSTAINED.json")
+    merged = {}
+    if os.path.exists(path):
+        try:
+            merged = json.load(open(path))
+        except Exception:
+            merged = {}
+    merged[args.loss] = out
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(f"wrote {path}")
+    ds.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,18 @@ def make_scene(
             group.create_dataset("lidar", data=ego.astype(np.float32))
             group.create_dataset("pose", data=pose)
             group.create_dataset("ground_mask", data=ground)
+            if labeled:
+                # ground-truth dynamics as DUFO labels (what dataprocess/
+                # process.py would compute; schema: uint8, 1 = dynamic) so
+                # SeFlow-style SSL training runs on synthetic splits without
+                # a labelling pass.  Unlabeled scenes stay raw so the
+                # process.py CLI tests exercise the real labelling pass.
+                dufo = np.concatenate(
+                    [np.zeros(len(bg_city) + len(ground_city), np.uint8)]
+                    + [np.full(len(a[0]),
+                               np.uint8(np.linalg.norm(a[1][:2]) > 0.5),
+                               np.uint8) for a in actors])
+                group.create_dataset("dufo_label", data=dufo)
 
             if labeled and fi + 1 < num_frames:
                 t1 = (fi + 1) * dt

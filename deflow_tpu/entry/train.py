@@ -155,7 +155,11 @@ def main(cfg: Optional[Config] = None) -> dict:
     final_metrics: dict = {}
 
     for epoch in range(start_epoch, epochs):
-        for i, host_batch in enumerate(train_loader):
+        # h2d runs one-plus batches ahead of the step in a background thread
+        # (T.device_prefetch) — issued inline, a blocking transfer serializes
+        # with the device step; "feed" below is the residual wait only.
+        for i, (host_batch, batch) in enumerate(
+                T.device_prefetch(train_loader, mesh)):
             if profile_steps and global_it == 2:  # skip compile steps
                 jax.profiler.start_trace(os.path.join(logger.run_dir, "profile"))
             if profile_steps and global_it == 2 + profile_steps:
@@ -164,8 +168,6 @@ def main(cfg: Optional[Config] = None) -> dict:
             global_it += 1
             if is_ssl and "dufo_label0" in host_batch:
                 dyn_cap_monitor.check(host_batch)
-            with timer.stage("h2d"):
-                batch = T.device_batch(host_batch, mesh)
             with timer.stage("step"):
                 state, aux = train_step(state, batch)
             frames_seen += batch_size

@@ -127,6 +127,65 @@ def device_batch(batch: Dict[str, np.ndarray], mesh: Optional[Mesh]) -> Dict[str
     return out
 
 
+def device_prefetch(loader, mesh: Optional[Mesh], depth: int = 2):
+    """Iterate ``(host_batch, device_batch)`` with the h2d transfer running
+    one-plus batches AHEAD of the consumer in a background thread.
+
+    ``jax.device_put`` can block on the transfer (it does through remote-
+    device links, where a full-scale batch costs ~1 s); issued inline it
+    serializes with the train step and the device idles.  Overlapping it
+    costs one thread and ``depth`` batches of HBM.  Same abandon-safe
+    bounded-put idiom as the DataLoader's prefetch thread.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    abandoned = threading.Event()
+
+    def worker():
+        try:
+            for hb in loader:
+                item = (hb, device_batch(hb, mesh))
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
+        except BaseException as e:  # surface loader/transfer errors
+            item = e
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return
+                except queue.Full:
+                    continue
+            return
+        while not abandoned.is_set():
+            try:
+                q.put(sentinel, timeout=0.25)
+                break
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        abandoned.set()
+
+
 def init_state(model, cfg, sample_batch: Dict[str, np.ndarray], seed: int = 0) -> TrainState:
     hist = None
     if getattr(model, "num_frames", 2) > 2:

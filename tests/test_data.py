@@ -181,3 +181,34 @@ def test_deep_history_keys_survive_collate_and_device_batch(split_dir):
     hist = T.history_from_batch(db)
     assert hist is not None and len(hist) == 2
     ds.close()
+
+
+def test_device_prefetch_matches_serial(split_dir):
+    """trainer.device_prefetch (background h2d one-plus batches ahead) yields
+    the same (host, device) batches in the same order as the serial
+    device_batch loop, and terminates cleanly at epoch end + when abandoned."""
+    from deflow_tpu import trainer as T
+
+    ds = HDF5Dataset(split_dir, max_points=256)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7, drop_last=True)
+    serial = [(hb, T.device_batch(hb, None)) for hb in dl]
+    dl2 = DataLoader(ds, batch_size=2, shuffle=True, seed=7, drop_last=True)
+    dl2.epoch = dl.epoch - 1  # same shuffle order as the serial epoch
+    pre = list(T.device_prefetch(dl2, None))
+    assert len(pre) == len(serial) > 0
+    for (hs, ds_), (hp, dp) in zip(serial, pre):
+        assert hs["timestamp"] == hp["timestamp"]
+        np.testing.assert_array_equal(np.asarray(ds_["pc0"]),
+                                      np.asarray(dp["pc0"]))
+    # abandonment mid-epoch must not deadlock the worker thread (own dataset
+    # handle: the worker may still be mid-h5-read when the consumer bails,
+    # so closing the shared handle here would just race it)
+    import time
+
+    ds2 = HDF5Dataset(split_dir, max_points=256)
+    it = T.device_prefetch(DataLoader(ds2, 2, shuffle=False), None)
+    next(it)
+    it.close()
+    time.sleep(0.6)  # bounded-put timeout: worker notices abandonment
+    ds.close()
+    ds2.close()

@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--points", type=int, default=110000)
     ap.add_argument("--max-points", type=int, default=98304)
     ap.add_argument("--data-root", default="/tmp/sustained_ds")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional config overrides (CPU smoke: "
+                         "'voxel_size=[1.6,1.6,6]' "
+                         "'model.target.grid_feature_size=[64,64]')")
+    ap.add_argument("--no-artifact", action="store_true",
+                    help="skip writing SUSTAINED.json (smoke runs)")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +78,7 @@ def main():
         f"dataset_path={args.data_root}", f"batch_size={args.bs}",
         "lr=2e-4", f"loss_fn={args.loss}", "precision=bf16",
         f"max_points={args.max_points}", f"num_workers={args.num_workers}",
-    ])
+    ] + args.extra)
     model = build_model(cfg.model, precision="bf16")
     ds = HDF5Dataset(split, max_points=args.max_points, remove_ground=True,
                      with_labels=True)
@@ -113,15 +119,16 @@ def main():
     # (and pairs/s from it) is exact either way.
     while done < args.steps:
         epochs += 1
-        it = iter(loader)
+        # feed = residual wait on the loader+h2d pipeline (T.device_prefetch
+        # runs decode/host-prep/device_put one-plus batches ahead, exactly
+        # like entry/train.py's loop)
+        it = T.device_prefetch(loader, mesh)
         while done < args.steps:
-            with timer.stage("data"):
+            with timer.stage("feed"):
                 try:
-                    host_batch = next(it)
+                    _, batch = next(it)
                 except StopIteration:
                     break
-            with timer.stage("h2d"):
-                batch = T.device_batch(host_batch, mesh)
             with timer.stage("step"):
                 state, aux = step(state, batch)
                 if (done + 1) % drain_every == 0:
@@ -150,13 +157,18 @@ def main():
     # over a v5e-8 (8 chips x this per-chip rate, DP-linear — the DP
     # all-reduce is a 7M-param psum, <1 ms on ICI)
     av2_pairs = 15 * 110000
-    proj = {}
+    proj, proj_dev = {}, {}
     for chips in (4, 8):
-        hours = av2_pairs / (pairs_per_sec * chips) / 3600
-        proj[f"v5e-{chips}"] = round(hours, 2)
+        proj[f"v5e-{chips}"] = round(
+            av2_pairs / (pairs_per_sec * chips) / 3600, 2)
+        proj_dev[f"v5e-{chips}"] = round(
+            av2_pairs / (dev_pairs_per_sec * chips) / 3600, 2)
 
+    batch_mb = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in batch.values()) / 1e6
     out = {
         "loss": args.loss, "bs": args.bs, "steps": done,
+        "batch_mb": round(batch_mb, 1),
         "epochs_crossed": epochs, "num_workers": args.num_workers,
         "host_vcpus": os.cpu_count(),
         "dataset": {"scenes": args.scenes, "frames": args.frames,
@@ -171,14 +183,22 @@ def main():
                     for k, ch in timer.children.items()},
         "loss_first": losses[0] if losses else None,
         "loss_last": losses[-1] if losses else None,
-        "projection_15_epoch_hours": proj,
+        "projection_15_epoch_hours_incl_sandbox_feed": proj,
+        "projection_15_epoch_hours_device_rate": proj_dev,
         "baseline_hours_4xA100": [6, 8],
-        "note": ("feed overhead measured on a 1-vCPU sandbox host; a real "
-                 "v5e VM (112 vCPUs) runs the same host pipeline with "
-                 "num_workers>=4 where HOSTPREP.json's model puts the feed "
-                 "fully ahead of the device step"),
+        "note": ("feed overhead is a SANDBOX artifact twice over: (1) one "
+                 "vCPU for decode+host-prep (a real v5e VM ships 112; "
+                 "HOSTPREP.json's worker model puts the feed ahead of the "
+                 "device step at num_workers>=4), and (2) h2d rides a remote "
+                 "network tunnel here (~1 s/batch for batch_mb) instead of "
+                 "the VM-local PCIe/DMA path (<10 ms).  device_prefetch "
+                 "overlaps both with the device step; the device-only rate "
+                 "is the projection-relevant number on real hardware"),
     }
     print(json.dumps(out, indent=1))
+    if args.no_artifact:
+        ds.close()
+        return
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "SUSTAINED.json")
     merged = {}

@@ -46,7 +46,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_kernel(num_rows: int, f32: bool):
+def _make_kernel(num_rows: int, f32: bool, bound_check: bool):
     def _gather_kernel(j0_ref, nwin_ref, ids_ref, tbl_hbm, out_ref,
                        wbuf, sems, slot_ref):
         k = pl.program_id(0)
@@ -84,8 +84,15 @@ def _make_kernel(num_rows: int, f32: bool):
         def contrib(j, s):
             # minor-dim insert only on the i32 ids (Mosaic forbids it on i1)
             idc = ids[:, None]
-            keep = (cols == idc - j * W) & (idc < num_rows)
-            onehot = jnp.where(keep, 1.0, 0.0).astype(wbuf.dtype)
+            keep = cols == idc - j * W
+            if bound_check:
+                # only when the table has REAL rows beyond num_rows; with
+                # num_rows == table rows (every in-tree caller) ids in
+                # [num_rows, r_pad) land on zero-padded rows (zeros = the
+                # contract) and ids ≥ r_pad are beyond every window — the
+                # extra full-width AND pass is pure waste
+                keep = keep & (idc < num_rows)
+            onehot = keep.astype(wbuf.dtype)
             return jax.lax.dot_general(
                 onehot, wbuf[s],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -118,9 +125,9 @@ def _make_kernel(num_rows: int, f32: bool):
     return _gather_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("num_rows",))
+@functools.partial(jax.jit, static_argnames=("num_rows", "bound_check"))
 def _sorted_gather(table: jnp.ndarray, flat_ids: jnp.ndarray,
-                   num_rows: int) -> jnp.ndarray:
+                   num_rows: int, bound_check: bool) -> jnp.ndarray:
     """``table [R_pad, C]`` (R_pad % W == 0), ascending ``flat_ids [M_pad]``
     (M_pad % CHUNK_N == 0; ids ≥ num_rows are sentinels) → [M_pad, C]."""
     r_pad, c = table.shape
@@ -155,7 +162,7 @@ def _sorted_gather(table: jnp.ndarray, flat_ids: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(num_rows, table.dtype != jnp.bfloat16),
+        _make_kernel(num_rows, table.dtype != jnp.bfloat16, bound_check),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, c), table.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -184,5 +191,6 @@ def sorted_rows_gather_pallas(
     if m_pad != m:
         flat_ids = jnp.pad(flat_ids, (0, m_pad - m),
                            constant_values=jnp.int32(2**30))
-    out = _sorted_gather(table, flat_ids.astype(jnp.int32), num_rows)
+    out = _sorted_gather(table, flat_ids.astype(jnp.int32), num_rows,
+                         bound_check=num_rows < r)
     return out[:m, :c]

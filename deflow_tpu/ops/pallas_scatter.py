@@ -44,7 +44,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 1024    # output pillar rows per grid step (swept: 1024 > 512 > 2048)
+import os as _os
+
+# output pillar rows per grid step.  Swept with the r2 one-hot (7 VPU
+# passes/block): 1024 > 512 > 2048; the r5 lean one-hot (2 passes) scales
+# its per-block cost with TILE_P much more gently, so the knob is exposed
+# for re-sweeps (kernel cost is ~grid-step-count bound at 393k rows).
+TILE_P = int(_os.environ.get("DEFLOW_SCATTER_TILE_P", 1024))
 CHUNK = 256      # sorted points DMAd per inner iteration (swept: 256 > 512 > 128)
 LANE = 128       # feature padding (TPU lane width); id shares the slab
 
@@ -89,7 +95,6 @@ def _make_kernel(id_lane, bf16_ids):
 
     tile_base = k * TILE_P
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_P), 0)
 
     def point_ids(s):
         if not bf16_ids:
@@ -102,10 +107,20 @@ def _make_kernel(id_lane, bf16_ids):
         return (a * 16384 + b * 128 + c)
 
     def contrib(chunk_idx, s):
+        del chunk_idx
         local = point_ids(s) - tile_base
-        gpos = chunk_idx * CHUNK + pos
-        keep = (gpos >= start) & (gpos < end) & (cols == local[:, None])
-        onehot = jnp.where(keep, 1.0, 0.0).astype(fbuf.dtype)
+        # NO span/row-range test: ids are sorted, so a DMA'd row whose id
+        # falls in [tile_base, tile_base + TILE_P) IS in this tile's span by
+        # construction; slab padding rows carry the sentinel id (f32 lane
+        # and bf16 digits both built from the sentinel-padded sorted_pid)
+        # and zero features, so they can never contribute.  The old
+        # (gpos >= start) & (gpos < end) guard cost 4-5 extra full-width
+        # VPU passes per [CHUNK, TILE_P] block.  Measured NEUTRAL in-step
+        # on v5e (ssl 29.21 vs 29.15, supervised 37.64 vs 37.6) — the
+        # kernel is grid-step/DMA-latency bound, not one-hot bound — but
+        # kept: fewer passes shift the TILE_P tradeoff toward fewer, wider
+        # tiles (DEFLOW_SCATTER_TILE_P is the A/B knob).
+        onehot = (cols == local[:, None]).astype(fbuf.dtype)
         # bf16 inputs: one native MXU pass is exact (one-hot x bf16 products,
         # f32 accumulate).  f32 inputs: HIGHEST, since the default pass
         # rounds operands to bf16 (2e-2 abs err measured).
@@ -233,7 +248,11 @@ def _sorted_scatter(packed: jnp.ndarray, sorted_pid: jnp.ndarray,
     return out[:num_pillars]
 
 
-TILE_S = 256   # lane-scatter: output segments per grid step (lane dim)
+# lane-scatter: output segments per grid step (lane dim).  Swept on v5e with
+# the lean one-hot (compare+convert only): at 393k segments the kernel is
+# grid-step-overhead-bound (1537 steps at TILE_S=256); DEFLOW_SCATTER_TILE_S
+# is the A/B knob.
+TILE_S = int(_os.environ.get("DEFLOW_SCATTER_TILE_S", 256))
 CHUNK_S = 256  # lane-scatter: sorted payload rows per DMA
 
 
@@ -283,13 +302,14 @@ def _make_lane_kernel(id_plane: int):
     # = payload rows; built by broadcast compare against the id plane (no
     # in-kernel transpose of the [1, CHUNK_S] id row needed)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, CHUNK_S), 0)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK_S), 1)
 
     def contrib(chunk_idx, s):
+        del chunk_idx
         ids = buf[s, id_plane:id_plane + 1, :].astype(jnp.int32)  # [1, C]
-        gpos = chunk_idx * CHUNK_S + pos
-        keep = (gpos >= start) & (gpos < end) & (cols == ids - tile_base)
-        onehot_t = jnp.where(keep, 1.0, 0.0)                      # [T, C]
+        # no span test: sorted ids make tile-range membership ⟺ span
+        # membership, and slab padding rows ride the sentinel id plane
+        # (see the pillar kernel's contrib for the full argument)
+        onehot_t = (cols == ids - tile_base).astype(jnp.float32)  # [T, C]
         # payload is f32; one-hot entries are bf16-exact but the payload is
         # not — HIGHEST avoids the default pass's operand rounding
         return jax.lax.dot_general(

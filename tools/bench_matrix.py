@@ -68,8 +68,20 @@ def run_config(tag, env):
 
 
 def main():
-    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
-    configs = QUICK if quick else FULL
+    # no arg: full matrix -> BENCHMATRIX.json.  "quick": the 2-config subset.
+    # explicit tag list (e.g. `bench_matrix.py ssl_bs4 ssl_skewed`): run just
+    # those rows and DON'T overwrite the artifact (A/B probes).
+    argv = sys.argv[1:]
+    if not argv:
+        configs, write = FULL, True
+    elif argv == ["quick"]:
+        configs, write = QUICK, False
+    else:
+        by_tag = dict(FULL)
+        unknown = [t for t in argv if t not in by_tag]
+        if unknown:
+            sys.exit(f"unknown tags {unknown}; known: {[t for t, _ in FULL]}")
+        configs, write = [(t, by_tag[t]) for t in argv], False
     rows = [run_config(tag, env) for tag, env in configs]
     import jax
 
@@ -79,11 +91,12 @@ def main():
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "rows": rows,
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCHMATRIX.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"wrote {path}")
+    if write:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCHMATRIX.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}")
 
 
 if __name__ == "__main__":

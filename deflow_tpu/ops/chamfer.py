@@ -307,8 +307,13 @@ def _sweep_sort(pts, mask, flag, spec: NNSpec) -> _SweepCloud:
     pf = pts.reshape(b * n, 3).astype(jnp.float32)
     cx, cy = _bin2d(pf, spec, gx, gy)
     sidx = jnp.arange(b * n, dtype=jnp.int32) // n
-    ids = jnp.where(mask.reshape(-1),
-                    (sidx * (gy + 1) + cy) * gx + cx, c_total)
+    mflat = mask.reshape(-1)
+    ids = jnp.where(mflat, (sidx * (gy + 1) + cy) * gx + cx, c_total)
+    # masked rows carry +2e19 SENTINEL coordinates (d overflows to inf):
+    # the kernel's CLEAN chunks skip the w-lane validity passes and rely on
+    # coordinate sentinels alone for masked/padding rows (see
+    # pallas_sweep.cell_sweep_pallas ``dirty``)
+    pf = jnp.where(mflat[:, None], pf, jnp.float32(2e19))
     flagf = (flag.reshape(-1).astype(jnp.float32) if flag is not None
              else jnp.zeros((b * n,), jnp.float32))
     grows = jnp.arange(b * n, dtype=jnp.float32)
@@ -347,20 +352,40 @@ def _sweep_cloud_from_host(lanes: jnp.ndarray, sid_local: jnp.ndarray,
     s_of_row = jnp.arange(b * n, dtype=jnp.int32) // n
     loc = sid_local.reshape(b * n)
     sid = jnp.where(loc >= kgap, c_total, loc + s_of_row * kgap)
+    # masked tail rows → +2e19 sentinel coordinates (the host ships zeros;
+    # clean sweep chunks have no w-lane pass to defuse them — see
+    # _sweep_sort).  Three [B·N] flat selects: ~µs at 4×98304.
+    mrow = loc < kgap
+    sent = lambda v: jnp.where(mrow, v, jnp.float32(2e19))
     sglobal = flat(4) + (s_of_row * n).astype(jnp.float32)
     start_g = (start[:, :kgap]
                + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]).reshape(-1)
     start_g = jnp.concatenate(
         [start_g, jnp.full((1,), b * n, jnp.int32)]).astype(jnp.int32)
-    return _SweepCloud(sid, flat(0), flat(1), flat(2), flat(3), sglobal,
-                       start_g, n, c_total)
+    return _SweepCloud(sid, sent(flat(0)), sent(flat(1)), sent(flat(2)),
+                       flat(3), sglobal, start_g, n, c_total)
 
 
 def _sweep_call(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     """One sweep direction through the Pallas kernel, in SORTED-query order:
     returns out [NQ_pad, 8] with lanes (d_all, i_all, d_flag, i_flag, 0…),
     i = sample-local candidate rows.  Callers that need original row order
-    unsort via ``qc.sglobal`` (see :func:`_sweep_dir`)."""
+    unsort via ``qc.sglobal`` (see :func:`_sweep_dir`).
+
+    DEAD END (round 5, measured): a second Pallas pass re-streaming the
+    same ring windows to gather each match's coordinates for the SSL VJP
+    (one-hot MXU contraction against a 16-lane bf16 slab of exact 3-way
+    coordinate splits + base-128 row digits, j-range-intersected windows,
+    single live direction via a static grad-direction spec hint).  It replaced
+    the backward's two descriptor-bound [B·N, 3] neighbor-gather fusions
+    (3.4 + 2.7 ms at 4×98304, bw_eff ≈ 0) but measured NET −0.5 to −1.4
+    pairs/s on v5e (ssl4 28.7 vs 29.2 best variant): the dense one-hot
+    contraction pays K=CHUNK_C MXU work per query for a sparse selection
+    (~2.2 µs/block at [2·256, 512]·128) plus ~NQ/CHUNK_Q grid steps of
+    fixed cost — a ~5 ms floor — and the 11-lane unsort + slab build eat
+    the rest.  With the in-kernel carry lanes (r4, 2 variants) and the
+    fused sorted-space sums (r5) this is the FOURTH dead reformulation of
+    the w-term gathers; their ~6 ms descriptor floor stands."""
     from deflow_tpu.ops.pallas_sweep import (
         CHUNK_C, CHUNK_Q, cell_sweep_pallas)
 
@@ -395,9 +420,11 @@ def _sweep_call(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     fpen = jnp.where(cc.sflag > 0.5, 0.0, _BIG)
     corig = (cc.sglobal.astype(jnp.int32) % cc.n).astype(jnp.float32)
     lanes = [
-        jnp.pad(cc.sx, (0, nc_pad - nc)),
-        jnp.pad(cc.sy, (0, nc_pad - nc)),
-        jnp.pad(cc.sz, (0, nc_pad - nc)),
+        # padding rows: +2e19 coordinate sentinels (d = inf on clean chunks
+        # with no w-lane; redundant with the w sentinel on dirty ones)
+        jnp.pad(cc.sx, (0, nc_pad - nc), constant_values=jnp.float32(2e19)),
+        jnp.pad(cc.sy, (0, nc_pad - nc), constant_values=jnp.float32(2e19)),
+        jnp.pad(cc.sz, (0, nc_pad - nc), constant_values=jnp.float32(2e19)),
         jnp.pad(cw, (0, nc_pad - nc), constant_values=jnp.float32(-2e19)),
         jnp.pad(fpen, (0, nc_pad - nc), constant_values=_BIG),
         jnp.pad(corig, (0, nc_pad - nc), constant_values=-1.0),
@@ -417,20 +444,47 @@ def _sweep_call(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     qmax = jnp.max(jnp.where(sid_chunks >= qc.c_total, -1, sid_chunks), axis=1)
     # all-sentinel chunk: qmin = c_total (clipped), qmax = -1 -> rhi <= rlo
     # -> zero windows (same no-op as the sorted path's sentinel tail)
+    # The three ring-row windows can OVERLAP at block granularity (a chunk
+    # spanning ≥ a full cell row in sparse regions, or clip pile-ups at the
+    # grid edge).  Dedup sequentially (window block starts/ends are
+    # monotone in j): the sweep's min-reduce only wasted passes on repeats,
+    # but the match-coord gather ACCUMULATES — a block visited twice would
+    # double the gathered row.
     cs_cols, cn_cols = [], []
+    end = jnp.zeros_like(qmin)
+    blk_lo = jnp.full_like(qmin, 2**30)
+    blk_hi = jnp.zeros_like(qmin)
     for j in (-1, 0, 1):
         wlo = jnp.clip(qmin + j * gx - 1, 0, cc.c_total - 1)
         whi = jnp.clip(qmax + j * gx + 1, 0, cc.c_total - 1)
         rlo = cc.start[wlo]
         rhi = cc.start[whi + 1]
-        clo = rlo // CHUNK_C
+        clo = jnp.maximum(rlo // CHUNK_C, end)
         chi = -(-rhi // CHUNK_C)
+        n_j = jnp.where(rhi > rlo, jnp.maximum(chi - clo, 0), 0)
+        end = jnp.where(n_j > 0, chi, end)
+        blk_lo = jnp.where(n_j > 0, jnp.minimum(blk_lo, clo), blk_lo)
+        blk_hi = jnp.where(n_j > 0, jnp.maximum(blk_hi, chi), blk_hi)
         cs_cols.append(clo)
-        cn_cols.append(jnp.where(rhi > rlo, chi - clo, 0))
+        cn_cols.append(n_j)
     cs = jnp.stack(cs_cols, axis=1).astype(jnp.int32)
     cn = jnp.stack(cn_cols, axis=1).astype(jnp.int32)
 
-    return cell_sweep_pallas(q_slab, c_slab, cs, cn, dual)
+    # ---- clean/dirty per query chunk (row-space window check).  A chunk is
+    # CLEAN when all its queries share one sample AND every fetched block
+    # row (including CHUNK_C quantization slack) lies inside that sample's
+    # own row range — then no other sample's real rows can appear and the
+    # kernel may skip the w-lane validity passes (masked/padding rows carry
+    # ±2e19 coordinate sentinels).  Sample boundaries touch ~2-6% of chunks.
+    sq = qmin // kgap
+    sqx = qmax // kgap
+    row_lo = cc.start[jnp.minimum(sq * kgap, cc.c_total)]
+    row_hi = cc.start[jnp.minimum((sq + 1) * kgap, cc.c_total)]
+    clean = ((sq == sqx) & (blk_lo * CHUNK_C >= row_lo)
+             & (blk_hi * CHUNK_C <= row_hi))
+    dirty = 1 - clean.astype(jnp.int32)
+
+    return cell_sweep_pallas(q_slab, c_slab, cs, cn, dirty, dual)
 
 
 def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
@@ -444,9 +498,9 @@ def _sweep_dir(qc: _SweepCloud, cc: _SweepCloud, spec: NNSpec, dual: bool):
     # ---- unsort: one payload sort keyed by the carried original rows
     key = jnp.pad(qc.sglobal.astype(jnp.int32), (0, nq_pad - bn),
                   constant_values=jnp.int32(2**30))
+    cut = lambda x: x[:bn].reshape(b, qc.n)
     _, d_a, i_a, d_f, i_f = jax.lax.sort(
         (key, out[:, 0], out[:, 1], out[:, 2], out[:, 3]), num_keys=1)
-    cut = lambda x: x[:bn].reshape(b, qc.n)
     return (cut(d_a), cut(i_a).astype(jnp.int32),
             cut(d_f), cut(i_f).astype(jnp.int32))
 
@@ -566,14 +620,12 @@ def _chamfer_nn_grid_bwd(spec, res, cts):
 _chamfer_nn_grid.defvjp(_chamfer_nn_grid_fwd, _chamfer_nn_grid_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
-    """Fused SeFlow NN set (batched): bidirectional all-candidates AND
-    dynamic-only chamfer in one grid sweep per direction (vs four sweeps for
-    two separate ``chamfer_distance`` calls)."""
+def _ssl_nn_impl(pc0, pc1, mask0, mask1, flag0, flag1, spec, host_c1=None):
+    """Shared body of :func:`_ssl_nn` / :func:`_ssl_nn_hosted`."""
     if _use_pallas():
         c0 = _sweep_sort(pc0, mask0, flag0, spec)
-        c1 = _sweep_sort(pc1, mask1, flag1, spec)
+        c1 = (_sweep_cloud_from_host(*host_c1, spec) if host_c1 is not None
+              else _sweep_sort(pc1, mask1, flag1, spec))
         d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
         d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
     else:
@@ -584,6 +636,14 @@ def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
     d0f = jnp.where(mask0 & flag0, d0f, 0.0)
     d1f = jnp.where(mask1 & flag1, d1f, 0.0)
     return d0a, d1a, d0f, d1f, i0a, i1a, i0f, i1f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ssl_nn(pc0, pc1, mask0, mask1, flag0, flag1, spec):
+    """Fused SeFlow NN set (batched): bidirectional all-candidates AND
+    dynamic-only chamfer in one grid sweep per direction (vs four sweeps for
+    two separate ``chamfer_distance`` calls)."""
+    return _ssl_nn_impl(pc0, pc1, mask0, mask1, flag0, flag1, spec)
 
 
 def _ssl_nn_fwd(pc0, pc1, mask0, mask1, flag0, flag1, spec):
@@ -700,19 +760,8 @@ def _ssl_nn_hosted(pc0, pc1, mask0, mask1, flag0, flag1,
     its device sort + start-table searchsorted are pure overhead.  The
     backward is identical (matched-pair subgradients in original row
     space); the host arrays carry no gradient."""
-    if _use_pallas():
-        c0 = _sweep_sort(pc0, mask0, flag0, spec)
-        c1 = _sweep_cloud_from_host(lanes, sid, start, spec)
-        d0a, i0a, d0f, i0f = _sweep_dir(c0, c1, spec, dual=True)
-        d1a, i1a, d1f, i1f = _sweep_dir(c1, c0, spec, dual=True)
-    else:
-        d0a, i0a, d0f, i0f = _grid_search(pc0, pc1, mask1, flag1, spec)
-        d1a, i1a, d1f, i1f = _grid_search(pc1, pc0, mask0, flag0, spec)
-    d0a = jnp.where(mask0, d0a, 0.0)
-    d1a = jnp.where(mask1, d1a, 0.0)
-    d0f = jnp.where(mask0 & flag0, d0f, 0.0)
-    d1f = jnp.where(mask1 & flag1, d1f, 0.0)
-    return d0a, d1a, d0f, d1f, i0a, i1a, i0f, i1f
+    return _ssl_nn_impl(pc0, pc1, mask0, mask1, flag0, flag1, spec,
+                        host_c1=(lanes, sid, start))
 
 
 def _ssl_nn_hosted_fwd(pc0, pc1, mask0, mask1, flag0, flag1,

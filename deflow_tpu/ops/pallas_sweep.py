@@ -43,7 +43,11 @@ This kernel keeps the candidates as ONE sorted flat array and sweeps it:
    additive penalty lane (``d_flag = d + fpen``, ``fpen ∈ {0, 3e38}`` —
    adding 0.0 is exact, and ``d + 3e38`` rounds to ≥ the ``_BIG`` no-
    candidate sentinel) — entirely on the VPU in f32 (no MXU, no precision
-   caveats).  16 full-width VPU passes per [CHUNK_Q, CHUNK_C] block.
+   caveats).  16 full-width VPU passes per [CHUNK_Q, CHUNK_C] block on
+   DIRTY chunks; CLEAN chunks (windows provably confined to the query's own
+   sample rows — the caller's row-space check, ~94-98% of chunks) skip the
+   3 w-lane passes and run 13, relying on ±2e19 coordinate sentinels for
+   masked/padding rows (d overflows to inf).
 
 Total HBM traffic ≈ (一 sweep of the candidate slab per ~gx query chunks)
 ≈ 100 MB/direction vs 7.2 GB of ring-row gathers — and the span-table while
@@ -88,7 +92,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _make_kernel(dual: bool):
-    def _sweep_kernel(cs_ref, cn_ref, first_ref, total_ref,
+    def _sweep_kernel(cs_ref, cn_ref, first_ref, total_ref, dirty_ref,
                       q_ref, c_hbm, out_ref, wbuf, sems, slot_ref):
         k = pl.program_id(0)
         nk = pl.num_programs(0)
@@ -134,17 +138,23 @@ def _make_kernel(dual: bool):
         qz = q_ref[:, _QZ:_QZ + 1]
         qw = q_ref[:, _QW:_QW + 1]
 
-        def contrib(s, carry):
+        def contrib(s, carry, with_w):
             cb = wbuf[s]                                   # [8, CHUNK_C]
             dx = qx - cb[_CX:_CX + 1, :]                   # [CHUNK_Q, CHUNK_C]
             dy = qy - cb[_CY:_CY + 1, :]
             dz = qz - cb[_CZ:_CZ + 1, :]
-            dw = qw - cb[_CW:_CW + 1, :]
-            # the w lane IS the validity test: Δw = 0 exactly for same-
-            # sample pairs (sum grouping keeps d bit-identical to 3-D),
-            # ≥ 1000 across samples, overflow-to-inf against masked/padding
-            # rows (see module docstring)
-            da = dx * dx + dy * dy + dz * dz + dw * dw
+            da = dx * dx + dy * dy + dz * dz
+            if with_w:
+                # the w lane IS the validity test on DIRTY chunks (windows
+                # that cross sample row ranges): Δw = 0 exactly for same-
+                # sample pairs (sum grouping keeps d bit-identical to 3-D),
+                # ≥ 2·ring·cell across samples, overflow-to-inf against
+                # padding rows.  CLEAN chunks (~94-98%, flagged by the
+                # caller's row-space window check) skip its 3 VPU passes:
+                # their windows only admit same-sample or sentinel-
+                # coordinate (masked/padding, ±2e19 → d = inf) rows.
+                dw = qw - cb[_CW:_CW + 1, :]
+                da = da + dw * dw
             crow = cb[_CORIG:_CORIG + 1, :]
 
             def best_of(dm, b, bi):
@@ -160,21 +170,25 @@ def _make_kernel(dual: bool):
                 bf, bif = best_of(da + cb[_CFPEN:_CFPEN + 1, :], bf, bif)
             return ba, bia, bf, bif
 
-        def body(t, carry):
-            *best, s = carry
-            nxt = jax.lax.rem(s + 1, 3)
+        def sweep(with_w):
+            def body(t, carry):
+                *best, s = carry
+                nxt = jax.lax.rem(s + 1, 3)
 
-            @pl.when(t + 1 < total)
-            def _():
-                dma(nxt, chunk_idx(t + 1)).start()
+                @pl.when(t + 1 < total)
+                def _():
+                    dma(nxt, chunk_idx(t + 1)).start()
 
-            dma(s, chunk_idx(t)).wait()
-            return (*contrib(s, tuple(best)), nxt)
+                dma(s, chunk_idx(t)).wait()
+                return (*contrib(s, tuple(best), with_w), nxt)
 
-        big = jnp.full((CHUNK_Q, 1), _BIG, jnp.float32)
-        neg = jnp.full((CHUNK_Q, 1), -1.0, jnp.float32)
-        ba, bia, bf, bif, _ = jax.lax.fori_loop(
-            0, total, body, (big, neg, big, neg, s0))
+            big = jnp.full((CHUNK_Q, 1), _BIG, jnp.float32)
+            neg = jnp.full((CHUNK_Q, 1), -1.0, jnp.float32)
+            return jax.lax.fori_loop(
+                0, total, body, (big, neg, big, neg, s0))
+
+        ba, bia, bf, bif, _ = jax.lax.cond(
+            dirty_ref[k] > 0, lambda: sweep(True), lambda: sweep(False))
 
         @pl.when(do_pref & (total > 2))
         def _():
@@ -189,7 +203,8 @@ def _make_kernel(dual: bool):
 
 @functools.partial(jax.jit, static_argnames=("dual",))
 def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
-                      cs: jnp.ndarray, cn: jnp.ndarray, dual: bool = True):
+                      cs: jnp.ndarray, cn: jnp.ndarray,
+                      dirty: jnp.ndarray | None = None, dual: bool = True):
     """Low-level sweep call.
 
     Args:
@@ -205,6 +220,12 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
         cs: [NQ_pad/CHUNK_Q, 3] i32 — per query chunk, candidate-chunk start
             index of each ring-row window.
         cn: [NQ_pad/CHUNK_Q, 3] i32 — candidate-chunk count per window.
+        dirty: [NQ_pad/CHUNK_Q] i32 — 1 where the chunk's windows can admit
+            OTHER-SAMPLE candidate rows (the w-lane validity passes run only
+            there; see chamfer._sweep_call).  None = all dirty (the always-
+            correct conservative default: w defuses every foreign row).
+            CALLER CONTRACT for 0-chunks: every window row is either the
+            query's own sample or carries ±2e19 sentinel coordinates.
     Returns:
         [NQ_pad, 8] f32: lanes (d_all, i_all, d_flag, i_flag, 0…) per sorted
         query; d = squared NN distance (``3e38`` when no candidate), i = the
@@ -213,13 +234,15 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
     nq_pad = q_slab.shape[0]
     num_chunks = nq_pad // CHUNK_Q
     total = jnp.sum(cn, axis=1).astype(jnp.int32)
+    if dirty is None:
+        dirty = jnp.ones((num_chunks,), jnp.int32)
     # first DMA block = start of the first non-empty window
     first = jnp.where(cn[:, 0] > 0, cs[:, 0],
                       jnp.where(cn[:, 1] > 0, cs[:, 1], cs[:, 2]))
     first = jnp.clip(first, 0, c_slab.shape[0] - 1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((CHUNK_Q, _QLANES), lambda k, *_: (k, 0),
@@ -241,4 +264,4 @@ def cell_sweep_pallas(q_slab: jnp.ndarray, c_slab: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
     )(cs.astype(jnp.int32).reshape(-1), cn.astype(jnp.int32).reshape(-1),
-      first, total, q_slab, c_slab)
+      first, total, dirty.astype(jnp.int32), q_slab, c_slab)

@@ -353,3 +353,42 @@ def test_seflow_loss_uses_hosted_cell_prep(interpret_pallas):
     bad["pc1_cell_start"] = bad["pc1_cell_start"][:, :31]
     v2 = seflow_loss(out, bad, chamfer_method="grid")
     assert float(v2) == pytest.approx(float(v0), rel=1e-6)
+
+
+def test_sweep_clean_chunks_match_all_dirty(interpret_pallas, monkeypatch):
+    """The conditional-w clean path must be BIT-IDENTICAL to the always-w
+    (all-dirty) kernel on multi-sample masked clouds — and the cloud must
+    be large enough that some chunks actually take the clean path."""
+    import deflow_tpu.ops.chamfer as CH
+    import deflow_tpu.ops.pallas_sweep as PS
+
+    # dense enough that interior chunks pass the row-space window check
+    p, q, mp, mq, fp, fq = _clouds(3, b=2, n=1024, m=1536)
+    args = [jnp.where(jnp.asarray(mp)[..., None], jnp.asarray(p), 0.0),
+            jnp.where(jnp.asarray(mq)[..., None], jnp.asarray(q), 0.0),
+            jnp.asarray(mp), jnp.asarray(mq), jnp.asarray(fp),
+            jnp.asarray(fq)]
+
+    seen = {}
+    orig = PS.cell_sweep_pallas
+
+    def spy(q_slab, c_slab, cs, cn, dirty=None, dual=True):
+        seen.setdefault("dirty", []).append(np.asarray(dirty))
+        return orig(q_slab, c_slab, cs, cn, dirty, dual)
+
+    monkeypatch.setattr(PS, "cell_sweep_pallas", spy)
+    monkeypatch.setattr(CH, "cell_sweep_pallas", spy, raising=False)
+    base = CH._ssl_nn(*args, SPEC)
+
+    def all_dirty(q_slab, c_slab, cs, cn, dirty=None, dual=True):
+        return orig(q_slab, c_slab, cs, cn, None, dual)
+
+    monkeypatch.setattr(PS, "cell_sweep_pallas", all_dirty)
+    monkeypatch.setattr(CH, "cell_sweep_pallas", all_dirty, raising=False)
+    ref = CH._ssl_nn(*args, SPEC)
+
+    dirt = np.concatenate([d for d in seen["dirty"] if d is not None])
+    assert (dirt == 0).any(), "no clean chunk exercised — test is vacuous"
+    assert (dirt == 1).any()
+    for a, b in zip(base, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
